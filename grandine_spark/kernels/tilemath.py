@@ -48,9 +48,11 @@ def tile_name_np(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized TileName; returns (x, y) int64 arrays."""
     n = 2.0**zoom
-    lat_rad = np.clip(np.asarray(lat, np.float64), -WGS84_LAT_MAX, WGS84_LAT_MAX) * (
-        math.pi / 180.0
-    )
+    # Go evaluates lat*π/180 left-associatively (lib/tile/tile.go:40); keep
+    # the same operation order so scalar/vectorized/SQL paths agree to the bit
+    lat_rad = (
+        np.clip(np.asarray(lat, np.float64), -WGS84_LAT_MAX, WGS84_LAT_MAX) * math.pi
+    ) / 180.0
     x = np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n)
     y = np.floor(
         (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / math.pi) / 2.0 * n

@@ -1,0 +1,120 @@
+"""Point-in-polygon spatial join: broadcast cell-prefix hash join + vectorized
+ray-casting refinement.
+
+Semantics: the reference's feature×cell inverted index build/probe
+(cmd/tiler/featurecache.go:73-94) + Point.InPolygon refinement
+(lib/spatial/point.go:72-101), re-expressed as:
+
+1. index pages' points with a z-cell id — NATIVE expressions (tile_exprs);
+2. explode each polygon's bbox into its covering cells at the same zoom —
+   native sequence+explode (the multi-cell replication of J2/J4);
+3. equi-join on the cell id — **broadcast** the polygon side when small
+   (the common case: admin polygons ≪ pages), else shuffle hash join with
+   AQE skew splitting;
+4. cheap native bbox predicate (point-in-bbox) BEFORE the Python boundary —
+   Catalyst cannot know UDF costs (SURVEY.md §4), so the two-stage filter is
+   explicit;
+5. exact PIP refinement as an Arrow-batched pandas UDF that groups each batch
+   by polygon so the ray-casting kernel runs once per (polygon, point-batch).
+
+At 100 TB the only shuffle is the pages-side cell repartition — and with a
+broadcast dim side there is NO shuffle at all: scan → project → broadcast-join
+→ filter, one stage end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..functions import tile_exprs as TX
+from ..kernels.geometry import points_in_polygon_np
+from ..kernels.wkb import from_wkb
+
+DEFAULT_JOIN_ZOOM = 7
+
+
+@pandas_udf(BooleanType())
+def pip_udf(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+    """Vectorized point-in-polygon: one ray-casting batch per distinct polygon
+    in the Arrow batch (candidates arrive cell-clustered, so batches contain
+    few distinct polygons)."""
+    import numpy as np
+
+    out = np.zeros(len(px), dtype=bool)
+    if len(px) == 0:
+        return pd.Series(out)
+    pxv = px.to_numpy(dtype=float)
+    pyv = py.to_numpy(dtype=float)
+    groups: dict[bytes, list[int]] = {}
+    for i, b in enumerate(wkb):
+        groups.setdefault(bytes(b), []).append(i)
+    for blob, idx in groups.items():
+        gt, coords = from_wkb(blob)
+        if gt != 3:
+            continue
+        ix = np.asarray(idx)
+        out[ix] = points_in_polygon_np(pxv[ix], pyv[ix], coords)
+    return pd.Series(out)
+
+
+def geocode_pages(pages: DataFrame) -> DataFrame:
+    """pages → (url, text, lang, lon, lat); rows without a geotag are dropped
+    by the geocoder (FIXTURES.md §1). Pure JVM expressions."""
+    lon, lat = TX.geocode_text(F.col("text"))
+    return (
+        pages.withColumn("lon", lon)
+        .withColumn("lat", lat)
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    )
+
+
+def index_points(points: DataFrame, zoom: int, lon="lon", lat="lat") -> DataFrame:
+    """Attach the z-cell id (native, codegen'd)."""
+    return points.withColumn("cell_x", TX.tile_x(F.col(lon), zoom)).withColumn(
+        "cell_y", TX.tile_y(F.col(lat), zoom)
+    )
+
+
+def polygons_by_cell(features: DataFrame, zoom: int) -> DataFrame:
+    """Polygon features → one row per covering cell (J2/J4 replication)."""
+    polys = features.filter(F.col("geom_type") == 3)
+    return TX.explode_coverage(polys, zoom).withColumnRenamed(
+        "tile_x", "cell_x"
+    ).withColumnRenamed("tile_y", "cell_y")
+
+
+def spatial_join(
+    points: DataFrame,
+    features: DataFrame,
+    zoom: int = DEFAULT_JOIN_ZOOM,
+    broadcast: bool = True,
+    point_cols: tuple = ("url",),
+    feature_cols: tuple = ("feature_id",),
+) -> DataFrame:
+    """points(lon,lat,…) ⨝ polygon features → refined containment rows.
+
+    Returns one row per (point, containing polygon) with ``point_cols`` +
+    ``feature_cols``.
+    """
+    pts = index_points(points, zoom)
+    cells = polygons_by_cell(features, zoom)
+    dim = F.broadcast(cells) if broadcast else cells
+
+    joined = pts.join(dim, ["cell_x", "cell_y"], "inner")
+
+    # stage 1: native bbox filter (cheap, codegen) before the Python boundary
+    coarse = joined.filter(
+        TX.point_in_bbox(
+            F.col("lon"), F.col("lat"),
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+        )
+    )
+
+    # stage 2: exact ray-casting PIP (Arrow-batched)
+    refined = coarse.filter(pip_udf(F.col("lon"), F.col("lat"), F.col("wkb")))
+
+    return refined.select(*[F.col(c) for c in point_cols + feature_cols])

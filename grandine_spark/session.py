@@ -1,0 +1,47 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local mode stands in for a multi-executor cluster (the sandbox has no real
+cluster); partitioning/shuffle settings are chosen as they would be on a
+1000-executor deployment:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- Arrow on (all geometry kernels run as vectorized pandas UDFs);
+- shuffle partitions sized to cores (overridable; on a real cluster this
+  would be ~2-3x total executor cores or left to AQE);
+- broadcast threshold left at default — the polygon side of the spatial join
+  is broadcast explicitly with ``F.broadcast`` when small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "grandine-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

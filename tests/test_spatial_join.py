@@ -1,0 +1,98 @@
+"""End-to-end spatial join: native cell exprs vs numpy kernels, PIP refinement,
+parallelism-invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from grandine_spark.functions import tile_exprs as TX
+from grandine_spark.kernels.geometry import point_in_polygon
+from grandine_spark.kernels.tilemath import tile_name
+from grandine_spark.kernels.wkb import from_wkb
+from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+from grandine_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return synth.pages(spark, 2000).cache()
+
+
+@pytest.fixture(scope="module")
+def features_df(spark):
+    return synth.features(spark).cache()
+
+
+def test_pages_schema_and_determinism(spark, pages_df):
+    assert [f.name for f in pages_df.schema.fields] == [
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    ]
+    # regenerating with different partitioning yields identical rows
+    a = synth.pages(spark, 500, partitions=2).orderBy("url").collect()
+    b = synth.pages(spark, 500, partitions=7).orderBy("url").collect()
+    assert a == b
+
+
+def test_geocoder_drops_untagged(pages_df):
+    total = pages_df.count()
+    geo = geocode_pages(pages_df).count()
+    assert 0.7 * total < geo < 0.9 * total  # ~80% geotagged
+
+
+def test_native_tile_exprs_match_kernel(spark, pages_df):
+    """The JVM-side cell indexer must agree with the numpy kernel bit-for-bit."""
+    pts = geocode_pages(pages_df).limit(500)
+    for zoom in (2, 7, 14):
+        rows = (
+            pts.select(
+                "lon",
+                "lat",
+                TX.tile_x(F.col("lon"), zoom).alias("tx"),
+                TX.tile_y(F.col("lat"), zoom).alias("ty"),
+            )
+        ).collect()
+        for r in rows:
+            kx, ky, _ = tile_name(r.lon, r.lat, zoom)
+            assert (r.tx, r.ty) == (kx, ky), (r.lon, r.lat, zoom)
+
+
+def test_spatial_join_matches_bruteforce(spark, pages_df, features_df):
+    pts = geocode_pages(pages_df)
+    out = spatial_join(pts, features_df, zoom=7).collect()
+    got = {(r.url, r.feature_id) for r in out}
+
+    # brute force oracle: python PIP over every (point, polygon) pair
+    polys = [
+        (r.feature_id, from_wkb(bytes(r.wkb))[1])
+        for r in features_df.filter(F.col("geom_type") == 3).collect()
+    ]
+    expected = set()
+    for p in pts.select("url", "lon", "lat").collect():
+        for fid, rings in polys:
+            if point_in_polygon(p.lon, p.lat, rings):
+                expected.add((p.url, fid))
+    assert got == expected
+    assert len(got) > 0  # clustered points do hit city polygons
+
+
+def test_spatial_join_parallelism_invariant(spark, pages_df, features_df):
+    """local[1]-equivalent (1 partition) vs 8 partitions → identical rows."""
+    pts = geocode_pages(pages_df)
+    a = sorted(
+        map(tuple, spatial_join(pts.coalesce(1), features_df, zoom=7).collect())
+    )
+    b = sorted(
+        map(tuple, spatial_join(pts.repartition(8), features_df, zoom=7).collect())
+    )
+    assert a == b
+
+
+def test_spatial_join_plan_is_broadcast(spark, pages_df, features_df):
+    plan = spatial_join(
+        geocode_pages(pages_df), features_df, zoom=7
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
