@@ -1,0 +1,168 @@
+"""The tiler as a DataFrame DAG — the reference's flagship pipeline
+(cmd/tiler/tiler.go:80-228, lifecycle in SURVEY.md §3.1) re-expressed
+Spark-first:
+
+    features table
+      → zoom-renderability filter        (native, cmd/tiler/tiler.go:230-248)
+      → coverage explode per zoom        (native sequence+explode, J2/J4)
+      → layer routing                    (native coalesce, tiler.go:300-312)
+      → groupBy(z, x, y)                 (the shuffle replaces the shared-
+                                          memory FeatureCache index)
+      → applyInPandas(encode tile)       (project→clip→merge→MVT protobuf,
+                                          lib/mvt/codec.go:57-198)
+      → tiles table (z, x, y, tile binary [, gzip])
+
+Skew: the reference randomizes its tile worklist (cmd/tiler/shuffle.go:11-15)
+because dense cities cluster in z-order. In Spark the groupBy hash-partitions
+tiles uniformly (the same fix, for free) and AQE rebalances partition sizes;
+a single giant tile group is bounded by per-tile feature counts, which
+``cell_stats`` surfaces so hot tiles can be capped upstream. Tile encode must
+see the WHOLE group to be byte-stable (MVT dictionaries + merge are
+order-sensitive), so groups are never split (SURVEY.md §7).
+
+Feature rows entering the encode UDF are sorted by feature_id within each
+tile group — a deterministic total order, so output bytes do not depend on
+shuffle arrival order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import tile_exprs as TX
+from ..kernels.mvt import encode_tile, gzip_tile
+from ..kernels.wkb import from_wkb
+
+TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_z", T.IntegerType(), False),
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("n_features", T.IntegerType(), False),
+        T.StructField("tile", T.BinaryType(), True),
+    ]
+)
+
+
+def renderable_at(features: DataFrame, zoom: int) -> DataFrame:
+    """@zoom:min/@zoom:max gate (cmd/tiler/tiler.go:230-248)."""
+    zmin = F.coalesce(F.col("zoom_min").cast("double"), F.lit(0.0))
+    zmax = F.coalesce(F.col("zoom_max").cast("double"), F.lit(99.0))
+    return features.filter((F.lit(float(zoom)) >= zmin) & (F.lit(float(zoom)) <= zmax))
+
+
+def coverage_at(features: DataFrame, zoom: int) -> DataFrame:
+    """Features replicated to every covering cell at ``zoom`` (J2/J4)."""
+    return TX.explode_coverage(renderable_at(features, zoom), zoom)
+
+
+def cell_stats(features: DataFrame, zooms: list[int]) -> DataFrame:
+    """Per-cell feature counts per zoom — the skew pre-pass (drives hot-cell
+    diagnostics and lineage; SURVEY.md §4 'Skew handling')."""
+    parts = [
+        coverage_at(features, z).groupBy("tile_z", "tile_x", "tile_y").count()
+        for z in zooms
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _make_encoder(gzip: bool):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(pdf["tile_z"].iloc[0])
+        x = int(pdf["tile_x"].iloc[0])
+        y = int(pdf["tile_y"].iloc[0])
+        # deterministic order regardless of shuffle arrival
+        pdf = pdf.sort_values("feature_id", kind="mergesort")
+        by_layer: dict[str, list[dict]] = {}
+        for _, row in pdf.iterrows():
+            gt, coords = from_wkb(bytes(row["wkb"]))
+            props = dict(row["props"]) if row["props"] is not None else {}
+            by_layer.setdefault(row["layer_name"], []).append(
+                {"geom_type": gt, "coords": coords, "props": props}
+            )
+        buf = encode_tile(by_layer, x, y, z)
+        if buf is not None and gzip:
+            buf = gzip_tile(buf)
+        return pd.DataFrame(
+            [
+                {
+                    "tile_z": z,
+                    "tile_x": x,
+                    "tile_y": y,
+                    "n_features": len(pdf),
+                    "tile": buf,
+                }
+            ]
+        )
+
+    return encode_group
+
+
+def build_tiles(
+    features: DataFrame, zooms: list[int], gzip: bool = False
+) -> DataFrame:
+    """features → MVT tiles at the given zoom levels.
+
+    One DataFrame covering all zooms (unioned coverage) so Spark schedules a
+    single shuffle; each (z,x,y) group encodes independently.
+    """
+    per_zoom = []
+    for z in zooms:
+        cov = coverage_at(features, z).withColumn(
+            "layer_name", TX.layer_route(F.col("props"))
+        )
+        per_zoom.append(
+            cov.select(
+                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "wkb", "props"
+            )
+        )
+    all_cov = per_zoom[0]
+    for p in per_zoom[1:]:
+        all_cov = all_cov.unionByName(p)
+
+    return (
+        all_cov.groupBy("tile_z", "tile_x", "tile_y")
+        .applyInPandas(_make_encoder(gzip), TILES_SCHEMA)
+        .filter(F.col("tile").isNotNull())
+    )
+
+
+def tile_assignments(points: DataFrame, zooms: list[int], id_col: str = "url") -> DataFrame:
+    """(id, z, x, y) tile assignment for point rows — the golden
+    'tile z/x/y assignments' output of BASELINE.json. Pure native exprs."""
+    outs = []
+    for z in zooms:
+        outs.append(
+            points.select(
+                F.col(id_col),
+                F.lit(z).alias("tile_z"),
+                TX.tile_x(F.col("lon"), z).alias("tile_x"),
+                TX.tile_y(F.col("lat"), z).alias("tile_y"),
+            )
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def write_tiles_directory(tiles: DataFrame, out_dir: str, ext: str = "mvt") -> int:
+    """{out}/{z}/{x}/{y}.{ext} disk sink (cmd/tiler/tiler.go:269-294),
+    executed distributed via foreachPartition."""
+    import os
+
+    def write_part(rows):
+        for r in rows:
+            d = os.path.join(out_dir, str(r.tile_z), str(r.tile_x))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r.tile_y}.{ext}"), "wb") as f:
+                f.write(bytes(r.tile))
+
+    tiles.foreachPartition(write_part)
+    return 0
