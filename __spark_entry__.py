@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2 + the BASELINE.json
+extensions) over the driver's testdata tables; ``oracle_sql()`` gives the
+exact ANSI-SQL equivalent for DuckDB. Geo inputs are derived DETERMINISTICALLY
+from the testdata tables with integer/rational arithmetic only (identical
+IEEE-754 doubles in both engines); hashing uses md5 (identical in both).
 """
 
 from __future__ import annotations
@@ -12,27 +12,630 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- shared derivations ------------------------------------------------------
+# points from documents: rational arithmetic only → bit-identical across engines
+_POINTS_SQL = """
+SELECT doc_id,
+       (doc_id * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+       (doc_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+FROM documents
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+
+
+def _diamond_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 diamond polygons derived from the nation table (rational coords)."""
+    from grandine_spark.kernels.wkb import geom_bbox, to_wkb
+    from grandine_spark.sources.synth import FEATURE_SCHEMA
+
+    rows = []
+    for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect():
+        k = int(r.n_nationkey)
+        cx = (k * 77) % 360 - 180 + 0.5
+        cy = (k * 37) % 160 - 80 + 0.5
+        rad = 1.5 + (k % 4) * 0.7
+        ring = [[cx + rad, cy], [cx, cy + rad], [cx - rad, cy], [cx, cy - rad]]
+        wkb = to_wkb(3, [ring])
+        bb = geom_bbox(3, [ring])
+        rows.append((k, "admin", 3, wkb, *bb, 0, 99, {"@layer": "admin"}))
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+_TILE_X_SQL = (
+    "CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}.0), 0), {m}) AS BIGINT)"
+)
+_TILE_Y_SQL = (
+    "CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN((LEAST(GREATEST({lat}, -85.0511287),"
+    " 85.0511287) * PI()) / 180.0) + 1.0 / COS((LEAST(GREATEST({lat}, -85.0511287),"
+    " 85.0511287) * PI()) / 180.0)) / PI()) / 2.0 * {n}.0), 0), {m}) AS BIGINT)"
+)
+
+
+def _tile_sql(lon: str, lat: str, z: int) -> tuple[str, str]:
+    n = 1 << z
+    return (
+        _TILE_X_SQL.format(lon=lon, n=n, m=n - 1),
+        _TILE_Y_SQL.format(lat=lat, n=n, m=n - 1),
+    )
+
+
+_HAVERSINE_SQL = (
+    "2.0 * ATAN2(SQRT(POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2)"
+    " + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+    " * POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2)),"
+    " SQRT(1.0 - (POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2)"
+    " + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+    " * POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2)))) * 6371000.0"
+)
+
+
+# --- queries ------------------------------------------------------------------
+
+
+def q_tile_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.functions import tile_exprs as TX
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        TX.tile_x(F.col("lon"), 14).alias("tile_x"),
+        TX.tile_y(F.col("lat"), 14).alias("tile_y"),
+    )
+
+
+def q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.raster import rasterize_points
+
+    return rasterize_points(_points(spark, sf_dir), 7).select(
+        "tile_x", "tile_y", F.col("n").alias("n")
+    )
+
+
+def q_cell_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.raster import downsample, rasterize_points
+
+    return downsample(rasterize_points(_points(spark, sf_dir), 10), 10, 5).select(
+        "tile_x", "tile_y", "n"
+    )
+
+
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.functions import tile_exprs as TX
+
+    pts = _points(spark, sf_dir)
+    boxed = pts.select(
+        "doc_id",
+        (F.col("lon") - (F.col("doc_id") % 5 + 1) * 0.3).alias("minx"),
+        (F.col("lat") - (F.col("doc_id") % 3 + 1) * 0.2).alias("miny"),
+        (F.col("lon") + (F.col("doc_id") % 5 + 1) * 0.3).alias("maxx"),
+        (F.col("lat") + (F.col("doc_id") % 3 + 1) * 0.2).alias("maxy"),
+    )
+    return (
+        TX.explode_coverage(boxed, 6)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.spatial_join import spatial_join
+
+    pts = _points(spark, sf_dir)
+    feats = _diamond_features(spark, sf_dir)
+    return spatial_join(
+        pts, feats, zoom=4, point_cols=("doc_id",), feature_cols=("feature_id",)
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.knn import knn
+
+    pts = _points(spark, sf_dir)
+    queries = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        F.col("r_regionkey").alias("q_id"),
+        ((F.col("r_regionkey") * 61) % 360 - 180 + 0.25).alias("lon"),
+        ((F.col("r_regionkey") * 31) % 160 - 80 + 0.25).alias("lat"),
+    )
+    return knn(pts, queries, k=5, zoom=5, point_id="doc_id", query_id="q_id").select(
+        "q_id", "doc_id", "rank"
+    )
+
+
+def q_raster_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.raster import cell_bbox_cols, rasterize_points
+
+    r = rasterize_points(_points(spark, sf_dir), 5)
+    return cell_bbox_cols(r, 5).select(
+        "tile_x",
+        "tile_y",
+        "n",
+        F.round(F.col("minx"), 6).alias("minx"),
+        F.round(F.col("miny"), 6).alias("miny"),
+        F.round(F.col("maxx"), 6).alias("maxx"),
+        F.round(F.col("maxy"), 6).alias("maxy"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select("digest", "keeper_id", "n_docs")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_perm=4, band_size=2, shingle_k=3
+    ).select("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.dedup import simhash_buckets
+
+    return simhash_buckets(_docs(spark, sf_dir), bits=16).select("doc_id", "simhash")
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.functions import text as TXT
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.lang_id(F.col("text")).alias("lang_pred"),
+        TXT.token_count_ws(F.col("text")).alias("n_tokens"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.functions import text as TXT
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.similarity import brute_force_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return brute_force_topk(embs, queries, k=5).select("q_id", "vec_id", "rank")
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.multimodal import extract_media_metadata
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+    return extract_media_metadata(d, id_col="doc_id", bin_col="blob").select(
+        "doc_id", "n_bytes", "sha"
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "n", "sum_value"
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming op (availableNow over a parquet dir) — rows-only
+    check (no oracle): watermarked windowed per-cell counts of synthetic pages."""
+    import tempfile
+
+    from grandine_spark.sources import synth
+    from grandine_spark.streaming.pipeline import stream_cell_counts
+
+    tmp = tempfile.mkdtemp(prefix="gs_stream_")
+    pages = synth.pages(spark, 2000)
+    pages.write.mode("overwrite").parquet(f"{tmp}/pages")
+    stream = spark.readStream.schema(pages.schema).parquet(f"{tmp}/pages")
+    out = stream_cell_counts(stream, zoom=5, window="60 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gs_stream_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        "SELECT tile_x, tile_y, SUM(n) AS n FROM gs_stream_cells GROUP BY 1, 2"
+    )
+
+
+def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT tile build over synthetic features — rows-only check (binary
+    protobuf output is not SQL-expressible)."""
+    from grandine_spark.operators.tiling import build_tiles
+    from grandine_spark.sources import synth
+
+    feats = synth.features(spark, n_polygons=60, n_roads=40, n_pois=60)
+    t = build_tiles(feats, [2, 7])
+    return t.select(
+        "tile_z", "tile_x", "tile_y", "n_features", F.sha2(F.col("tile"), 256).alias("tile_sha")
+    )
+
+
+# --- oracle SQL ---------------------------------------------------------------
+
+
+def _oracle_tile_index() -> str:
+    tx, ty = _tile_sql("lon", "lat", 14)
+    return f"WITH pts AS ({_POINTS_SQL}) SELECT doc_id, {tx} AS tile_x, {ty} AS tile_y FROM pts"
+
+
+def _oracle_cell_counts() -> str:
+    tx, ty = _tile_sql("lon", "lat", 7)
+    return (
+        f"WITH pts AS ({_POINTS_SQL}) SELECT {tx} AS tile_x, {ty} AS tile_y,"
+        " COUNT(*) AS n FROM pts GROUP BY 1, 2"
+    )
+
+
+def _oracle_cell_downsample() -> str:
+    tx, ty = _tile_sql("lon", "lat", 10)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+c10 AS (SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n FROM pts GROUP BY 1, 2)
+SELECT tile_x // 32 AS tile_x, tile_y // 32 AS tile_y, SUM(n) AS n
+FROM c10 GROUP BY 1, 2
+"""
+
+
+def _oracle_coverage() -> str:
+    x1, y2 = _tile_sql("minx", "miny", 6)  # y2: south edge → bottom row
+    x2, y1 = _tile_sql("maxx", "maxy", 6)  # y1: north edge → top row
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+boxed AS (
+  SELECT doc_id,
+         lon - (doc_id % 5 + 1) * 0.3 AS minx,
+         lat - (doc_id % 3 + 1) * 0.2 AS miny,
+         lon + (doc_id % 5 + 1) * 0.3 AS maxx,
+         lat + (doc_id % 3 + 1) * 0.2 AS maxy
+  FROM pts)
+SELECT doc_id,
+       ({x2} - {x1} + 1) * ({y2} - {y1} + 1) AS n_cells
+FROM boxed
+"""
+
+
+def _oracle_spatial_join() -> str:
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+diamonds AS (
+  SELECT n_nationkey AS feature_id,
+         (n_nationkey * 77) % 360 - 180 + 0.5 AS cx,
+         (n_nationkey * 37) % 160 - 80 + 0.5 AS cy,
+         1.5 + (n_nationkey % 4) * 0.7 AS r
+  FROM nation)
+SELECT p.doc_id, d.feature_id
+FROM pts p JOIN diamonds d
+  ON ABS(p.lon - d.cx) + ABS(p.lat - d.cy) <= d.r
+"""
+
+
+def _oracle_knn() -> str:
+    hav = _HAVERSINE_SQL.format(lon1="q.lon", lat1="q.lat", lon2="p.lon", lat2="p.lat")
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+qs AS (
+  SELECT r_regionkey AS q_id,
+         (r_regionkey * 61) % 360 - 180 + 0.25 AS lon,
+         (r_regionkey * 31) % 160 - 80 + 0.25 AS lat
+  FROM region),
+scored AS (
+  SELECT q.q_id, p.doc_id, {hav} AS d
+  FROM qs q CROSS JOIN pts p),
+ranked AS (
+  SELECT q_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d ASC, doc_id ASC) AS rank
+  FROM scored)
+SELECT q_id, doc_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _oracle_raster_to_vector() -> str:
+    tx, ty = _tile_sql("lon", "lat", 5)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+cells AS (SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n FROM pts GROUP BY 1, 2)
+SELECT tile_x, tile_y, n,
+       ROUND(tile_x / 32.0 * 360.0 - 180.0, 6) AS minx,
+       -- DuckDB 1.0 has no SINH; (e^v - e^-v)/2 agrees to ULPs, absorbed by ROUND(,6)
+       ROUND(DEGREES(ATAN((EXP(PI() * (1.0 - 2.0 * (tile_y + 1) / 32.0))
+             - EXP(-PI() * (1.0 - 2.0 * (tile_y + 1) / 32.0))) / 2.0)), 6) AS miny,
+       ROUND((tile_x + 1) / 32.0 * 360.0 - 180.0, 6) AS maxx,
+       ROUND(DEGREES(ATAN((EXP(PI() * (1.0 - 2.0 * tile_y / 32.0))
+             - EXP(-PI() * (1.0 - 2.0 * tile_y / 32.0))) / 2.0)), 6) AS maxy
+FROM cells
+"""
+
+
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 2)) AS i) g
+  WHERE len(t) >= 3)
+"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+WITH {_SHINGLE_SQL},
+mh AS (
+  SELECT doc_id,
+         MIN(md5('0:' || s)) AS mh0, MIN(md5('1:' || s)) AS mh1,
+         MIN(md5('2:' || s)) AS mh2, MIN(md5('3:' || s)) AS mh3
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS bucket FROM mh)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _oracle_simhash() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN substr(md5(tok), b.b + 1, 1) IN
+              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS contrib
+  FROM toks CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) b
+  GROUP BY doc_id, b.b)
+SELECT doc_id,
+       SUM(CASE WHEN contrib > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def _occ_sql(haystack: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"CAST((LENGTH({haystack}) - LENGTH(REPLACE({haystack}, '{n}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def _oracle_lang_quality() -> str:
+    low = "(' ' || lower(text) || ' ')"
+    markers = {
+        "en": [" the ", " and ", " of "],
+        "de": [" der ", " und ", " die "],
+        "fr": [" le ", " les ", " et "],
+        "es": [" el ", " los ", " que "],
+        "pt": [" de ", " os ", " uma "],
+    }
+    counts = {
+        lang: " + ".join(_occ_sql(low, m) for m in ms) for lang, ms in markers.items()
+    }
+    stop = " + ".join(_occ_sql("lower(text)", f" {w} ") for w in ["the", "and", "for", "that", "with"])
+    punct = " + ".join(_occ_sql("text", c) for c in [".", ",", "!", "?"])
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         {counts['en']} AS c_en, {counts['de']} AS c_de, {counts['fr']} AS c_fr,
+         {counts['es']} AS c_es, {counts['pt']} AS c_pt,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         {stop} AS n_stop,
+         {punct} AS n_punct
+  FROM documents),
+g AS (
+  SELECT doc_id, c_en, c_de, c_fr, c_es, c_pt, n_chars, n_tokens,
+         GREATEST(c_en, c_de, c_fr, c_es, c_pt) AS m,
+         CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) AS stop_ratio,
+         CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+         CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1) AS mean_tok
+  FROM f)
+SELECT doc_id,
+       CASE WHEN m = 0 THEN 'und'
+            WHEN c_en = m THEN 'en' WHEN c_de = m THEN 'de'
+            WHEN c_fr = m THEN 'fr' WHEN c_es = m THEN 'es'
+            ELSE 'pt' END AS lang_pred,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       (CAST(n_chars >= 200 AND n_chars <= 100000 AS INT)
+        + CAST(stop_ratio >= 0.01 AS INT)
+        + CAST(punct_ratio <= 0.2 AS INT)
+        + CAST(mean_tok >= 2.0 AND mean_tok <= 12.0 AS INT)) / 4.0 AS quality
+FROM g
+"""
+
+
+def _oracle_fingerprint() -> str:
+    m = 1 << 31
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text), '\\s+')) AS tok,
+         UNNEST(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS i
+  FROM documents)
+SELECT doc_id,
+       SUM((i * (LENGTH(tok) * 131 + COALESCE(ascii(substr(tok, 1, 1)), 0))) % {m}) % {m} AS fp
+FROM toks GROUP BY doc_id
+"""
+
+
+def _oracle_ann_cosine() -> str:
+    return """
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cosine
+  FROM embeddings q JOIN embeddings v ON q.vec_id < 3 AND v.vec_id <> q.vec_id),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs)
+SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _oracle_media_meta() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(sha256(text)) AS sha
+FROM documents
+"""
+
+
+def _oracle_event_windows() -> str:
+    return """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _oracle_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def _oracle_top_segments() -> str:
+    return """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# --- driver contract ----------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocode synthetic pages → spatial-join against polygon
+    features → (url, feature_id) containment rows, at smoke scale."""
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 2000)
+    feats = synth.features(spark, n_polygons=60, n_roads=0, n_pois=0)
+    return spatial_join(geocode_pages(pages), feats, zoom=7)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_index": q_tile_index,
+        "cell_counts": q_cell_counts,
+        "cell_downsample": q_cell_downsample,
+        "coverage": q_coverage,
+        "spatial_join": q_spatial_join,
+        "knn": q_knn,
+        "raster_to_vector": q_raster_to_vector,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lang_quality": q_lang_quality,
+        "fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "media_meta": q_media_meta,
+        "event_windows": q_event_windows,
+        "pricing_summary": q_pricing_summary,
+        "top_segments": q_top_segments,
+        "stream_cell_counts": q_stream_cell_counts,
+        "tiles": q_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_index": _oracle_tile_index(),
+        "cell_counts": _oracle_cell_counts(),
+        "cell_downsample": _oracle_cell_downsample(),
+        "coverage": _oracle_coverage(),
+        "spatial_join": _oracle_spatial_join(),
+        "knn": _oracle_knn(),
+        "raster_to_vector": _oracle_raster_to_vector(),
+        "dedup_exact": (
+            "SELECT md5(text) AS digest, MIN(doc_id) AS keeper_id,"
+            " COUNT(*) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "minhash_lsh": _oracle_minhash_lsh(),
+        "simhash": _oracle_simhash(),
+        "lang_quality": _oracle_lang_quality(),
+        "fingerprint": _oracle_fingerprint(),
+        "ann_cosine": _oracle_ann_cosine(),
+        "media_meta": _oracle_media_meta(),
+        "event_windows": _oracle_event_windows(),
+        "pricing_summary": _oracle_pricing_summary(),
+        "top_segments": _oracle_top_segments(),
+        # stream_cell_counts, tiles: non-SQL-expressible → rows-only check
+    }

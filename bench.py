@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+{"metric": "joined_rows_per_sec", "value": N, "unit": "rows/sec",
+ "queries": {name: seconds, ...}, "sf": f, "tiles_per_sec": N,
+ "scaling": {"throughput_8": r8, "throughput_32": r32, "efficiency": e}}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. The scaling section evidences the north rule's
+N→4N criterion in-sandbox: the flagship spatial join runs in subprocesses at
+local[8] and local[32] on identical input; efficiency = (thr32/thr8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+N_PAGES = max(int(2_000_000 * SF), 10_000)
+
+
+def _flagship(spark, n_pages: int):
+    """Geocode pages → spatial join vs 200 polygons → joined row count."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, n_pages)
+    feats = synth.features(spark, n_polygons=200, n_roads=0, n_pois=0)
+    return spatial_join(geocode_pages(pages), feats, zoom=7).count()
+
+
+def run_flagship_subprocess(cores: int) -> tuple[float, int]:
+    """Run the flagship join in a fresh JVM at the given parallelism."""
+    code = (
+        "import sys, time, json; sys.path.insert(0, %r);"
+        "from grandine_spark.session import get_spark;"
+        "import bench;"
+        "spark = get_spark('bench-scaling', cores=%d, shuffle_partitions=%d);"
+        "t0 = time.time(); n = bench._flagship(spark, %d); el = time.time() - t0;"
+        "print(json.dumps({'elapsed': el, 'rows': n})); spark.stop()"
+    ) % (os.path.dirname(os.path.abspath(__file__)), cores, cores, N_PAGES)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    return d["elapsed"], d["rows"]
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from grandine_spark.session import get_spark
+
+    spark = get_spark("grandine-bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- geo pipeline ------------------------------------------------------
+    from grandine_spark.operators.knn import knn
+    from grandine_spark.operators.raster import downsample, rasterize_points
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.operators.tiling import build_tiles, tile_assignments
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, N_PAGES)
+    feats = synth.features(spark, n_polygons=200, n_roads=100, n_pois=200)
+    pts = geocode_pages(pages).select("url", "lon", "lat")
+    pts.cache()
+    n_pts = pts.count()
+
+    joined_rows = timed(
+        "spatial_join", lambda: spatial_join(pts, feats, zoom=7).count()
+    )
+    meta["joined_rows"] = joined_rows
+    meta["joined_rows_per_sec"] = round(joined_rows / timings["spatial_join"], 1)
+
+    n_assign = timed(
+        "tile_index_z14", lambda: tile_assignments(pts, [14]).count()
+    )
+    meta["indexed_points_per_sec"] = round(n_assign / timings["tile_index_z14"], 1)
+
+    n_tiles = timed("tiles_z2_8", lambda: build_tiles(feats, [2, 5, 8]).count())
+    meta["tiles"] = n_tiles
+    meta["tiles_per_sec"] = round(n_tiles / timings["tiles_z2_8"], 1)
+
+    queries_df = spark.createDataFrame(
+        [(i, float((i * 67) % 340 - 170), float((i * 29) % 140 - 70)) for i in range(100)],
+        "q_id int, lon double, lat double",
+    )
+    timed("knn_100q", lambda: knn(pts, queries_df, k=10, zoom=6).count())
+
+    timed(
+        "rasterize_z10_to_z4",
+        lambda: downsample(rasterize_points(pts, 10), 10, 4).count(),
+    )
+
+    # --- webtext pipeline ----------------------------------------------------
+    from grandine_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+    from grandine_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_exact", lambda: dedup_exact(docs).count())
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_pairs(docs, n_perm=8, band_size=2).count(),
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    timed("ann_bruteforce", lambda: brute_force_topk(embs, q, k=10).count())
+
+    # --- relational sanity ----------------------------------------------------
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed(
+        "pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"))
+        .count(),
+    )
+
+    pts.unpersist()
+    spark.stop()
+
+    # --- scaling evidence (N vs 4N) -------------------------------------------
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        try:
+            t8, rows8 = run_flagship_subprocess(8)
+            t32, rows32 = run_flagship_subprocess(32)
+            thr8 = rows8 / t8
+            thr32 = rows32 / t32
+            scaling = {
+                "rows": rows8,
+                "elapsed_8": round(t8, 2),
+                "elapsed_32": round(t32, 2),
+                "throughput_8": round(thr8, 1),
+                "throughput_32": round(thr32, 1),
+                "efficiency": round((thr32 / thr8) / 4.0, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            scaling = {"error": str(e)[:200]}
+
+    print(
+        json.dumps(
+            {
+                "metric": "joined_rows_per_sec",
+                "value": meta["joined_rows_per_sec"],
+                "unit": "rows/sec",
+                "queries": timings,
+                "sf": SF,
+                "n_pages": N_PAGES,
+                "n_points": n_pts,
+                **meta,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Web-text analysis as native Column expressions — the training-data-pipeline
+function library (language-ID, quality scoring, token counting, document
+fingerprinting, shingling, MinHash, SimHash).
+
+Everything is expressed with builtin ``pyspark.sql.functions`` so it is
+JVM-side AND reproducible in ANSI SQL for the DuckDB oracle (hashing uses
+md5, identical in both engines — no engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- token counting --------------------------------------------------------
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word-piece matches
+    ([A-Za-z]{1,4} runs + digits + punctuation singles)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+
+
+# --- quality scoring --------------------------------------------------------
+
+_STOPWORDS = ["the", "and", "for", "that", "with"]
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via length difference — the same
+    trick is expressible in ANSI SQL for the oracle."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = token_count_ws(text)
+    n_stop = sum(
+        (_occurrences(F.lower(text), f" {w} ") for w in _STOPWORDS), F.lit(0)
+    ).cast("bigint")
+    n_punct = sum(
+        (_occurrences(text, c) for c in [".", ",", "!", "?"]), F.lit(0)
+    ).cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_stopwords": n_stop,
+        "n_punct": n_punct,
+        "stop_ratio": n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        "mean_token_len": n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword presence
+    + sane punctuation density. Deterministic, closed-form."""
+    f = quality_features(text)
+    len_ok = (f["n_chars"] >= 200) & (f["n_chars"] <= 100000)
+    stop_ok = f["stop_ratio"] >= 0.01
+    punct_ok = f["punct_ratio"] <= 0.2
+    tok_ok = (f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0)
+    score = (
+        len_ok.cast("int") + stop_ok.cast("int") + punct_ok.cast("int") + tok_ok.cast("int")
+    ).cast("double") / F.lit(4.0)
+    return score
+
+
+# --- language id (n-gram / stopword heuristic) ------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " les ", " et "],
+    "es": [" el ", " los ", " que "],
+    "pt": [" de ", " os ", " uma "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum((_occurrences(low, m) for m in markers), F.lit(0)).cast("bigint")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts; ties broken by language order; 'und'
+    (undetermined) when no markers hit at all."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in ["en", "de", "fr", "es", "pt"]:
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+_FNV_MOD = 1 << 31
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Rolling polynomial fingerprint over whitespace tokens:
+    h = sum_i pos_i * (len(token_i) * 131 + first_char_code) mod 2^31.
+    Integer-exact and expressible identically in ANSI SQL (posexplode ↔
+    generate_subscripts)."""
+    toks = F.split(F.trim(text), r"\s+")
+    def term(i):  # noqa: E306
+        tok = F.element_at(toks, i + 1)
+        return F.when(
+            F.lit(i) < F.size(toks),
+            F.pmod(
+                F.lit(i + 1)
+                * (F.length(tok) * F.lit(131) + F.ascii(F.substring(tok, 1, 1))),
+                F.lit(_FNV_MOD),
+            ),
+        ).otherwise(F.lit(0))
+
+    # closed-form over aggregate() on the token array — no per-row python
+    return F.pmod(
+        F.aggregate(
+            F.zip_with(
+                toks,
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda t, i: F.pmod(
+                    i * (F.length(t) * F.lit(131) + F.coalesce(F.ascii(F.substring(t, 1, 1)), F.lit(0))),
+                    F.lit(_FNV_MOD),
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: F.pmod(acc + v, F.lit(_FNV_MOD)),
+        ),
+        F.lit(_FNV_MOD),
+    )
+
+
+# --- shingling / MinHash / SimHash -------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (space-joined), via transform over
+    token positions — JVM-side."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, n_perm: int = 16) -> list[Column]:
+    """MinHash via md5 with per-permutation salts: sig_p = min(md5(p || ':' ||
+    shingle)). md5 is identical across Spark/DuckDB → oracle-checkable.
+    Lexicographic min over hex strings is a valid uniform min-hash."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s)))
+        ).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+
+
+def simhash64ish(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens using the MSB of each md5 hex nibble as
+    the bit source (bit b of token t = md5(t)[b] ∈ {8..f}), majority-weighted
+    by token frequency. Returns a ``bits``-bit bigint. Expressible in ANSI SQL
+    (same md5-substring trick)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        # sum over tokens of +1/-1 for bit b
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.substring(h, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(contrib > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out

@@ -1,0 +1,139 @@
+"""Deduplication family for web-scale corpora (training-data pipeline ops).
+
+All operators take a DataFrame with (id_col, text_col) and return DataFrames;
+all hashing is md5-based so every operator has an exact ANSI-SQL oracle.
+
+Scale notes (100 TB): exact dedup is one map-side md5 + one shuffle on the
+digest; MinHash-LSH shuffles once per band on short band-signature strings
+(not documents); candidate verification joins only within buckets. Skewed
+buckets (boilerplate shingles) are bounded by dropping over-wide buckets,
+the standard LSH guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): returns one row per distinct text
+    with the keeper (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def dedup_exact_pairs(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(dup_id, keeper_id) rows for every non-keeper duplicate."""
+    with_digest = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    keepers = with_digest.groupBy("digest").agg(F.min(id_col).alias("keeper_id"))
+    return (
+        with_digest.join(F.broadcast(keepers), "digest")
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(F.col(id_col).alias("dup_id"), "keeper_id")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_perm: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding: near-duplicate CANDIDATE pairs (a < b).
+
+    shingle → per-permutation md5 min-hash → concat ``band_size`` hashes per
+    band → self-join per band bucket → distinct pairs. Documents with no
+    shingles are excluded.
+    """
+    shingles = TXT.word_shingles(F.col(text_col), shingle_k)
+    sig = df.select(
+        F.col(id_col),
+        *TXT.minhash_signature(shingles, n_perm),
+        F.size(shingles).alias("_ns"),
+    ).filter(F.col("_ns") > 0)
+
+    n_bands = n_perm // band_size
+    band_cols = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(
+            F.concat_ws("|", F.lit(str(b)), *cols).alias(f"band{b}")
+        )
+    banded = sig.select(F.col(id_col), *band_cols)
+
+    # one row per (doc, band-signature), then bucket self-join
+    stack_expr = F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
+    buckets = banded.select(F.col(id_col), stack_expr.alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over shingle sets: pairs with
+    J(a,b) >= threshold. Shuffle is on exploded distinct shingles; the
+    |A∩B| count comes from a shingle-equi-join (no cross product)."""
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(TXT.word_shingles(F.col(text_col), shingle_k)).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint per document (near-dup candidates share a value)."""
+    return df.select(
+        F.col(id_col), TXT.simhash64ish(F.col(text_col), bits).alias("simhash")
+    )

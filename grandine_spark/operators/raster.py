@@ -1,0 +1,97 @@
+"""Raster ↔ vector resampling on the tile-cell grid (BASELINE.json extension,
+grounded on the reference's cell↔bbox bijection lib/tile/tile.go:19-49 and
+Resolution lib/tile/tile.go:52-54).
+
+A "raster" here is a DataFrame of (tile_z, tile_x, tile_y, value) — the cell
+grid at a zoom IS the raster; z controls resolution. All ops are native
+groupBy/select expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tile_exprs as TX
+
+
+def rasterize_points(
+    points: DataFrame, zoom: int, value_col: str | None = None
+) -> DataFrame:
+    """vector→raster: bin points into cells; count + optional sum/mean."""
+    cells = points.select(
+        TX.tile_x(F.col("lon"), zoom).alias("tile_x"),
+        TX.tile_y(F.col("lat"), zoom).alias("tile_y"),
+        *( [F.col(value_col)] if value_col else [] ),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs += [
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        ]
+    return (
+        cells.groupBy("tile_x", "tile_y")
+        .agg(*aggs)
+        .withColumn("tile_z", F.lit(zoom))
+    )
+
+
+def downsample(raster: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
+    """raster→raster at lower resolution: parent-cell aggregation via the
+    cell-PREFIX property (x>>d, y>>d) — a pure map + one shuffle."""
+    if to_zoom > from_zoom:
+        raise ValueError("to_zoom must be <= from_zoom")
+    d = from_zoom - to_zoom
+    return (
+        raster.select(
+            F.shiftright(F.col("tile_x"), d).alias("tile_x"),
+            F.shiftright(F.col("tile_y"), d).alias("tile_y"),
+            F.col("n"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("tile_z", F.lit(to_zoom))
+    )
+
+
+def cell_bbox_cols(df: DataFrame, zoom: int) -> DataFrame:
+    """raster→vector: attach each cell's geographic bbox (inverse slippy
+    formula, lib/tile/tile.go:19-31) as native expressions."""
+    n = float(2.0**zoom)
+    x = F.col("tile_x").cast("double")
+    y = F.col("tile_y").cast("double")
+    lon_w = x / F.lit(n) * 360.0 - 180.0
+    lon_e = (x + 1) / F.lit(n) * 360.0 - 180.0
+    lat_n = F.degrees(F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * y / F.lit(n)))))
+    lat_s = F.degrees(
+        F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * (y + 1) / F.lit(n))))
+    )
+    return df.select(
+        "*",
+        lon_w.alias("minx"),
+        lat_s.alias("miny"),
+        lon_e.alias("maxx"),
+        lat_n.alias("maxy"),
+    )
+
+
+def resample_to_polygons(
+    raster: DataFrame, polygons: DataFrame, zoom: int
+) -> DataFrame:
+    """raster→vector aggregation: sum raster values over each polygon's
+    covering cells (coarse cell containment — the raster analog of the
+    spatial join's stage 1)."""
+    cells = TX.explode_coverage(
+        polygons.filter(F.col("geom_type") == 3), zoom
+    ).select("feature_id", "tile_x", "tile_y")
+    return (
+        cells.join(raster, ["tile_x", "tile_y"], "left")
+        .groupBy("feature_id")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_points"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: native F.aggregate/zip_with dot products
+  (JVM-side, no Python), crossJoin bounded by a broadcast query side;
+- LSH-bucketed ANN: deterministic random-hyperplane signatures → candidate
+  buckets → exact re-rank inside buckets (the 100 TB path: the index is a
+  cheap map-side signature, the join is bucket-equi, never all-pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query row: top-k most-cosine-similar vectors (excluding
+    self-matches by id). Query side is broadcast — this is the correctness
+    baseline; use :func:`lsh_topk` at scale."""
+    q = queries.select(
+        F.col(q_id_col), F.col(vec_col).alias("q_vec")
+    )
+    joined = vectors.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42) -> "F.Column":
+    """Deterministic random-hyperplane sign bits as a bigint bucket id.
+    Hyperplanes come from a fixed-seed numpy RNG embedded as literals —
+    identical on every executor, no fitting step."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).round(6)
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        d = _dot(vec_col, plane)
+        sig = sig + F.when(d > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def _table_buckets(vec_col, dim: int, n_tables: int, bits: int, seed: int = 42):
+    """array<string> of per-table bucket keys '<t>|<sig>' — L independent
+    hyperplane tables of b bits each (classic multi-table LSH: per-neighbor
+    recall 1-(1-p^b)^L for hyperplane agreement prob p)."""
+    keys = []
+    for t in range(n_tables):
+        sig = hyperplane_signature(vec_col, dim, bits, seed=seed + 1000 * t)
+        keys.append(F.concat_ws("|", F.lit(str(t)), sig.cast("string")))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 16,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: join on any shared LSH-table bucket, exact cosine re-rank within.
+    Recall < 1 by construction; the scale path for 10^12 rows (bucket-equi
+    join instead of cross product). Tune (n_tables, bits) by corpus density:
+    more bits → smaller buckets, more tables → higher recall."""
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_table_buckets(F.col(vec_col), dim, n_tables, bits)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(q_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_table_buckets(F.col(vec_col), dim, n_tables, bits)).alias("bucket"),
+    )
+    joined = v.join(q, "bucket").filter(F.col(id_col) != F.col(q_id_col))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+    ).dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank")
+    )

@@ -1,0 +1,73 @@
+"""Resume-from-checkpoint + lineage invariance (north-rule requirements)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from grandine_spark.plans.checkpoint import Warehouse, anti_join_completed
+from grandine_spark.plans.pipeline import run_pipeline
+from grandine_spark.sources import synth
+
+
+def _tiles_map(df):
+    return {
+        (r.tile_z, r.tile_x, r.tile_y): bytes(r.tile) for r in df.collect()
+    }
+
+
+def test_checkpoint_skips_recompute(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = spark.range(100).withColumn("v", F.col("id") * 2)
+    out1 = wh.checkpoint(src, "s1", key_col="id")
+    assert out1.count() == 100
+    # "corrupt" the upstream: if stage re-ran, it would see 1 row
+    out2 = wh.checkpoint(spark.range(1).withColumn("v", F.lit(0)), "s1", key_col="id")
+    assert out2.count() == 100  # read back, not recomputed
+
+
+def test_lineage_partitioning_invariant(spark, tmp_path):
+    pages = synth.pages(spark, 500)
+    wh1 = Warehouse(spark, str(tmp_path / "a"))
+    wh8 = Warehouse(spark, str(tmp_path / "b"))
+    wh1.checkpoint(pages.coalesce(1), "pg", key_col="url")
+    wh8.checkpoint(pages.repartition(8), "pg", key_col="url")
+    l1 = {(r.bucket): (r.row_count, r.digest) for r in wh1.lineage("pg").collect()}
+    l8 = {(r.bucket): (r.row_count, r.digest) for r in wh8.lineage("pg").collect()}
+    assert l1 == l8
+
+
+def test_pipeline_resume_byte_identical(spark, tmp_path):
+    pages = synth.pages(spark, 600)
+    feats = synth.features(spark, n_polygons=30, n_roads=10, n_pois=10)
+
+    # full run
+    full_root = str(tmp_path / "full")
+    full = run_pipeline(spark, pages, feats, full_root, zooms=[2, 7])
+    full_tiles = _tiles_map(full["tiles"])
+    full_join = sorted(map(tuple, full["join_rows"].collect()))
+
+    # interrupted run: run, then delete markers of the LAST two stages to
+    # simulate a kill mid-pipeline
+    resume_root = str(tmp_path / "resume")
+    run_pipeline(spark, pages, feats, resume_root, zooms=[2, 7])
+    for stage in ("cellcounts", "tiles"):
+        shutil.rmtree(os.path.join(resume_root, stage))
+
+    resumed = run_pipeline(spark, pages, feats, resume_root, zooms=[2, 7])
+    assert _tiles_map(resumed["tiles"]) == full_tiles
+    assert sorted(map(tuple, resumed["join_rows"].collect())) == full_join
+
+    # lineage verifies across the two runs
+    wh = resumed["warehouse"]
+    assert wh.verify(resumed["join_rows"], "join_rows", "url")
+
+
+def test_anti_join_completed(spark):
+    work = spark.createDataFrame(
+        [(z, x) for z in (1, 2) for x in range(5)], "z int, x int"
+    )
+    done = spark.createDataFrame([(1, 0), (1, 1), (2, 4)], "z int, x int")
+    rest = anti_join_completed(work, done, ["z", "x"])
+    assert rest.count() == 7

@@ -1,0 +1,118 @@
+"""kNN cell-ring expansion, raster resampling, streaming parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grandine_spark.functions import tile_exprs as TX
+from grandine_spark.operators.knn import knn
+from grandine_spark.operators.raster import (
+    cell_bbox_cols,
+    downsample,
+    rasterize_points,
+    resample_to_polygons,
+)
+from grandine_spark.operators.spatial_join import geocode_pages
+from grandine_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return geocode_pages(synth.pages(spark, 1500)).select("url", "lon", "lat").cache()
+
+
+def test_knn_matches_bruteforce(spark, points):
+    queries = spark.createDataFrame(
+        [(0, 13.7, 51.0), (1, -74.0, 40.7), (2, 151.2, -33.8), (3, 0.0, 0.0)],
+        "q_id int, lon double, lat double",
+    )
+    got = {
+        (r.q_id, r.rank): r.url for r in knn(points, queries, k=5, zoom=5).collect()
+    }
+
+    # brute force oracle
+    bf = (
+        queries.crossJoin(
+            points.select(
+                F.col("url"), F.col("lon").alias("plon"), F.col("lat").alias("plat")
+            )
+        )
+        .select(
+            "q_id",
+            "url",
+            TX.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("plon"), F.col("plat")
+            ).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("url").asc())
+    exp = {
+        (r.q_id, r.rank): r.url
+        for r in bf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == exp
+
+
+def test_rasterize_and_downsample(spark, points):
+    r10 = rasterize_points(points, 10)
+    assert r10.agg(F.sum("n")).first()[0] == points.count()
+    r6 = downsample(r10, 10, 6)
+    assert r6.agg(F.sum("n")).first()[0] == points.count()
+    # downsampled equals direct rasterization at z6
+    direct = {(r.tile_x, r.tile_y): r.n for r in rasterize_points(points, 6).collect()}
+    via = {(r.tile_x, r.tile_y): r.n for r in r6.collect()}
+    assert direct == via
+
+
+def test_cell_bbox_inverse(spark, points):
+    r = rasterize_points(points.limit(100), 8)
+    withbb = cell_bbox_cols(r, 8).collect()
+    from grandine_spark.kernels.tilemath import tile_bbox
+
+    for row in withbb:
+        exp = tile_bbox(int(row.tile_x), int(row.tile_y), 8)
+        got = (row.minx, row.miny, row.maxx, row.maxy)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp))
+
+
+def test_resample_to_polygons(spark, points):
+    feats = synth.features(spark, n_polygons=30, n_roads=0, n_pois=0)
+    out = resample_to_polygons(rasterize_points(points, 8), feats, 8)
+    assert out.count() == 30
+    assert out.agg(F.sum("n_points")).first()[0] >= 0
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """availableNow streaming run over the same parquet == batch result."""
+    from grandine_spark.streaming.pipeline import stream_cell_counts
+
+    pages = synth.pages(spark, 800)
+    src = str(tmp_path / "pages_src")
+    pages.write.parquet(src)
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    out = stream_cell_counts(stream, zoom=5, window="60 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select tile_x, tile_y, sum(n) as n from cellcounts group by 1,2")
+
+    batch = (
+        geocode_pages(spark.read.parquet(src))
+        .groupBy(
+            TX.tile_x(F.col("lon"), 5).alias("tile_x"),
+            TX.tile_y(F.col("lat"), 5).alias("tile_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r.tile_x, r.tile_y): r.n for r in got.collect()}
+    b = {(r.tile_x, r.tile_y): r.n for r in batch.collect()}
+    assert g == b

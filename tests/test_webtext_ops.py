@@ -1,0 +1,141 @@
+"""Dedup / similarity / text-function operators on the driver testdata tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from grandine_spark.functions import text as TXT
+from grandine_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from grandine_spark.operators.multimodal import (
+    extract_media_features,
+    extract_media_metadata,
+)
+from grandine_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_groups(spark, docs):
+    groups = dedup_exact(docs).collect()
+    assert sum(r.n_docs for r in groups) == docs.count()
+    pairs = dedup_exact_pairs(docs)
+    n_dups = docs.count() - len(groups)
+    assert pairs.count() == n_dups
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    """Exact duplicates always share every band → must appear as candidates."""
+    dup_pairs = {
+        (min(r.dup_id, r.keeper_id), max(r.dup_id, r.keeper_id))
+        for r in dedup_exact_pairs(docs).collect()
+    }
+    if not dup_pairs:
+        pytest.skip("no exact dups at this sf")
+    cand = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, n_perm=8, band_size=2).collect()
+    }
+    missing = {
+        p
+        for p in dup_pairs
+        if p not in cand
+    }
+    assert not missing
+
+
+def test_ngram_jaccard_selfconsistency(spark, docs):
+    out = ngram_jaccard_pairs(docs.limit(100), threshold=0.5).collect()
+    for r in out:
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {(r.doc_id, r.simhash) for r in simhash_buckets(docs.limit(50)).collect()}
+    b = {(r.doc_id, r.simhash) for r in simhash_buckets(docs.limit(50)).collect()}
+    assert a == b
+    assert all(0 <= s < (1 << 32) for _, s in a)
+
+
+def test_text_functions(spark, docs):
+    row = (
+        docs.limit(20)
+        .select(
+            "doc_id",
+            TXT.token_count_ws(F.col("text")).alias("n_tok"),
+            TXT.quality_score(F.col("text")).alias("q"),
+            TXT.lang_id(F.col("text")).alias("lang_pred"),
+            TXT.doc_fingerprint(F.col("text")).alias("fp"),
+            F.length("text").alias("n_chars"),
+        )
+        .collect()
+    )
+    for r in row:
+        assert r.n_tok > 0
+        assert 0.0 <= r.q <= 1.0
+        assert r.lang_pred in {"en", "de", "fr", "es", "pt", "und"}
+        assert 0 <= r.fp < (1 << 31)
+
+
+def test_brute_force_topk(spark, embs):
+    queries = embs.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    out = brute_force_topk(embs, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    assert set(by_q) == {0, 1, 2}
+    for q, lst in by_q.items():
+        assert sorted(x[0] for x in lst) == [1, 2, 3, 4, 5]
+        assert q not in {x[1] for x in lst}  # self excluded
+
+
+def test_lsh_topk_recall(spark, embs):
+    dim = len(embs.first().embedding)
+    queries = embs.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(embs, queries, k=3)
+    approx = lsh_topk(embs, queries, dim=dim, k=3, n_tables=16, bits=4)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6  # 16 tables x 4 bits at p~0.6 → expected ~0.9
+
+
+def test_multimodal_metadata_and_features(spark):
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 200)
+    meta = extract_media_metadata(pages).collect()
+    assert len(meta) == 200
+    assert all(r.media_type == "text/html" for r in meta)
+    assert all(r.n_bytes > 0 and len(r.sha) == 64 for r in meta)
+
+    feats = extract_media_features(pages, dim=8).collect()
+    assert len(feats) == 200
+    for r in feats:
+        assert len(r.feat) == 8
+        assert abs(sum(r.feat) - 1.0) < 1e-6  # histogram normalized
+
+
+def test_decode_stub_raises():
+    from grandine_spark.operators.multimodal import decode_image_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\xff\xd8\xff")
