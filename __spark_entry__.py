@@ -47,7 +47,7 @@ def _diamond_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = int(r.n_nationkey)
         cx = (k * 77) % 360 - 180 + 0.5
         cy = (k * 37) % 160 - 80 + 0.5
-        rad = 1.5 + (k % 4) * 0.7
+        rad = 5.0 + (k % 4) * 2.0
         ring = [[cx + rad, cy], [cx, cy + rad], [cx - rad, cy], [cx, cy - rad]]
         wkb = to_wkb(3, [ring])
         bb = geom_bbox(3, [ring])
@@ -365,7 +365,7 @@ diamonds AS (
   SELECT n_nationkey AS feature_id,
          (n_nationkey * 77) % 360 - 180 + 0.5 AS cx,
          (n_nationkey * 37) % 160 - 80 + 0.5 AS cy,
-         1.5 + (n_nationkey % 4) * 0.7 AS r
+         5.0 + (n_nationkey % 4) * 2.0 AS r
   FROM nation)
 SELECT p.doc_id, d.feature_id
 FROM pts p JOIN diamonds d
