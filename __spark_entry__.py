@@ -389,7 +389,7 @@ ranked AS (
   SELECT q_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d ASC, doc_id ASC) AS rank
   FROM scored)
-SELECT q_id, doc_id, rank FROM ranked WHERE rank <= 5
+SELECT q_id, doc_id, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
 """
 
 
@@ -531,7 +531,7 @@ ranked AS (
   SELECT q_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM pairs)
-SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 5
+SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
 """
 
 

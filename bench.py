@@ -70,9 +70,11 @@ def main():
     meta: dict[str, float] = {}
 
     def timed(name, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # --- geo pipeline ------------------------------------------------------

@@ -1,36 +1,28 @@
 """kNN via cell-ring expansion (BASELINE.json extension; grounded on the
 reference's grid arithmetic J1 + haversine J7 — SURVEY.md §2.4 note).
 
-Batch formulation (no driver loop over points): join queries to candidate
-points through exploded cell rings of growing Chebyshev radius; queries that
-already have k verified neighbors drop out of later rounds.
+Shape: points are BIG (distributed, cell-indexed once and cached); queries
+are SMALL (a query set, broadcastable). Each round joins the unresolved
+queries' covering cell-disk (Chebyshev radius r, doubling) against the
+indexed points, takes the per-query top-k by haversine, and retains a query
+only when its k-th distance is provably inside the covered disk (exact
+lower-bound distances to the disk boundary: R·Δlat to the parallels,
+R·asin(|sinΔlon|·cosφ) to the meridians; grid-edge sides are unbounded-safe).
+Unresolved queries fall back to a brute-force join (exact).
 
-Correctness guard: a neighbor found within ring radius r is only FINAL once
-r * cell_width >= its distance — expanding by doubling and verifying with a
-final exact haversine top-k keeps exactness. The implementation keeps it
-simple and exact: radius doubles until every remaining query has ≥ k
-candidates whose haversine distance is ≤ the geographic radius guaranteed
-covered by the ring, then a window top-k re-ranks.
-
-At scale: points are pre-indexed by cell (one shuffle, reused across rounds);
-each round touches only unresolved queries (usually round 1 resolves nearly
-all when k ≪ points-per-cell).
+Query bookkeeping is driver-side (queries ≪ points): no growing anti-join
+lineage chains; per-round results are collected (≤ |queries|·k rows).
+The heavy work — the cell join and haversine top-k — stays distributed.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-import math
-
 from ..functions import tile_exprs as TX
-
-
-def _ring_cells(radius: int):
-    """Chebyshev-ring offsets ≤ radius (the DISK, so every round is a
-    superset of the last — monotone candidate sets)."""
-    return [(dx, dy) for dx in range(-radius, radius + 1) for dy in range(-radius, radius + 1)]
 
 
 def knn(
@@ -43,12 +35,10 @@ def knn(
     query_id: str = "q_id",
 ) -> DataFrame:
     """For each query (q_id, lon, lat): the k nearest points by haversine.
-
-    Returns (q_id, point_id, rank). Exact (equals brute force) as long as the
-    true k-th neighbor lies within ``max_radius`` cells at ``zoom``; falls
-    back to a brute-force join for queries still unresolved at max_radius.
-    """
+    Returns (q_id, point_id, rank). Exact (equals brute force)."""
+    spark = points.sparkSession
     n = 1 << zoom
+
     pts = (
         points.withColumn("p_cx", TX.tile_x(F.col("lon"), zoom))
         .withColumn("p_cy", TX.tile_y(F.col("lat"), zoom))
@@ -59,109 +49,67 @@ def knn(
             "p_cx",
             "p_cy",
         )
+        .cache()
     )
-    qs = (
-        queries.withColumn("q_cx", TX.tile_x(F.col("lon"), zoom))
-        .withColumn("q_cy", TX.tile_y(F.col("lat"), zoom))
-        .select(
-            F.col(query_id).alias("_qid"),
-            F.col("lon").alias("q_lon"),
-            F.col("lat").alias("q_lat"),
-            "q_cx",
-            "q_cy",
-        )
-    )
+    pts.count()  # materialize once; reused every round
 
-    resolved = None
-    remaining = qs
+    qrows = queries.select(
+        F.col(query_id).alias("_qid"), F.col("lon"), F.col("lat")
+    ).collect()
+    qmeta = {
+        r._qid: (
+            float(r.lon),
+            float(r.lat),
+            *_cell_of(float(r.lon), float(r.lat), zoom),
+        )
+        for r in qrows
+    }
+
+    resolved_rows: list[tuple] = []  # (_qid, _pid, rank)
+    unresolved = set(qmeta)
     radius = 1
-    while radius <= max_radius:
-        offsets = _ring_cells(radius)
-        probe = remaining.select(
-            "_qid",
-            "q_lon",
-            "q_lat",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.pmod(F.col("q_cx") + F.lit(dx), F.lit(n)).alias("cx"),
-                        (F.col("q_cy") + F.lit(dy)).alias("cy"),
-                    )
-                    for dx, dy in offsets
-                ])
-            ).alias("cell"),
-        ).select(
-            "_qid",
-            "q_lon",
-            "q_lat",
-            F.col("cell.cx").alias("p_cx"),
-            F.col("cell.cy").alias("p_cy"),
+    while unresolved and radius <= max_radius:
+        probe = spark.createDataFrame(
+            [
+                (qid, qmeta[qid][0], qmeta[qid][1], (qmeta[qid][2] + dx) % n, qmeta[qid][3] + dy)
+                for qid in unresolved
+                for dx in range(-radius, radius + 1)
+                for dy in range(-radius, radius + 1)
+                if 0 <= qmeta[qid][3] + dy < n
+            ],
+            "_qid long, q_lon double, q_lat double, p_cx long, p_cy long",
         )
-
         cand = probe.join(pts, ["p_cx", "p_cy"]).select(
             "_qid",
-            "q_lon",
-            "q_lat",
             "_pid",
             TX.haversine_m(
                 F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
             ).alias("dist_m"),
         )
-
-        # Lower bound on the distance from the query to anything OUTSIDE the
-        # covered cell disk: the disk covers lon ∈ [W,E] and lat ∈ [S,N]
-        # (cell bbox edges). Distance to a parallel is exactly R*Δlat_rad;
-        # distance to a meridian is ≥ R*asin(|sin Δlon| * cos lat). When the
-        # disk spans the whole grid in x (or reaches the y edge) that side is
-        # unbounded-safe.
-        R = 6371000.0
-        covers_all_x = (2 * radius + 1) >= n
-        x_lo = F.col("q_cx") - F.lit(radius)
-        x_hi = F.col("q_cx") + F.lit(radius + 1)
-        y_lo = F.col("q_cy") - F.lit(radius)
-        y_hi = F.col("q_cy") + F.lit(radius + 1)
-        lon_w = x_lo.cast("double") / F.lit(float(n)) * 360.0 - 180.0
-        lon_e = x_hi.cast("double") / F.lit(float(n)) * 360.0 - 180.0
-        lat_n = F.degrees(
-            F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * y_lo.cast("double") / F.lit(float(n)))))
-        )
-        lat_s = F.degrees(
-            F.atan(F.sinh(F.lit(math.pi) * (1.0 - 2.0 * y_hi.cast("double") / F.lit(float(n)))))
-        )
-        big = F.lit(1e18)
-        d_n = F.when(y_lo <= 0, big).otherwise(F.radians(lat_n - F.col("q_lat")) * R)
-        d_s = F.when(y_hi >= n, big).otherwise(F.radians(F.col("q_lat") - lat_s) * R)
-        if covers_all_x:
-            d_w = big
-            d_e = big
-        else:
-            cosl = F.cos(F.radians(F.col("q_lat")))
-            d_w = F.asin(F.abs(F.sin(F.radians(F.col("q_lon") - lon_w))) * cosl) * R
-            d_e = F.asin(F.abs(F.sin(F.radians(lon_e - F.col("q_lon")))) * cosl) * R
-        safe_m = F.least(d_n, d_s, d_w, d_e)
-
-        qsafe = remaining.select("_qid", safe_m.alias("safe_m"))
         w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_pid").asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-        kth = topk.groupBy("_qid").agg(
-            F.max("dist_m").alias("kth_dist"), F.count(F.lit(1)).alias("n_found")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .collect()
         )
-        done_ids = (
-            kth.join(qsafe, "_qid")
-            .filter((F.col("n_found") >= k) & (F.col("kth_dist") <= F.col("safe_m")))
-            .select("_qid")
-        )
-
-        done_rows = topk.join(done_ids, "_qid").select("_qid", "_pid", "rank")
-        resolved = done_rows if resolved is None else resolved.unionByName(done_rows)
-        remaining = remaining.join(done_ids, "_qid", "left_anti")
-        if remaining.limit(1).count() == 0:
-            break
+        by_q: dict = {}
+        for r in topk:
+            by_q.setdefault(r._qid, []).append(r)
+        for qid, rows in by_q.items():
+            if len(rows) < k:
+                continue
+            kth = max(r.dist_m for r in rows)
+            if kth <= _safe_m(qmeta[qid], radius, zoom):
+                resolved_rows += [(qid, r._pid, r.rank) for r in rows]
+                unresolved.discard(qid)
         radius *= 2
 
-    # brute-force fallback for whatever is left (tiny at sane max_radius)
-    if remaining.limit(1).count() > 0:
-        cand = remaining.crossJoin(pts.drop("p_cx", "p_cy")).select(
+    if unresolved:
+        qdf = spark.createDataFrame(
+            [(qid, qmeta[qid][0], qmeta[qid][1]) for qid in unresolved],
+            "_qid long, q_lon double, q_lat double",
+        )
+        cand = pts.crossJoin(F.broadcast(qdf)).select(
             "_qid",
             "_pid",
             TX.haversine_m(
@@ -172,10 +120,48 @@ def knn(
         rest = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("_qid", "_pid", "rank")
+            .collect()
         )
-        resolved = rest if resolved is None else resolved.unionByName(rest)
+        resolved_rows += [(r._qid, r._pid, r.rank) for r in rest]
 
-    return resolved.select(
-        F.col("_qid").alias(query_id), F.col("_pid").alias(point_id), "rank"
-    )
+    pts.unpersist()
+    # preserve the caller's id column types exactly
+    qid_type = dict(queries.dtypes)[query_id]
+    pid_type = dict(points.dtypes)[point_id]
+    schema = f"`{query_id}` {qid_type}, `{point_id}` {pid_type}, rank int"
+    return spark.createDataFrame(resolved_rows, schema)
+
+
+def _cell_of(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+    from ..kernels.tilemath import tile_name
+
+    x, y, _ = tile_name(lon, lat, zoom)
+    return x, y
+
+
+def _safe_m(qm, radius: int, zoom: int) -> float:
+    """Exact lower bound on the distance from the query point to anything
+    outside the covered cell disk."""
+    R = 6371000.0
+    lon, lat, cx, cy = qm
+    n = 1 << zoom
+    if 2 * radius + 1 >= n:
+        d_w = d_e = float("inf")
+    else:
+        west = (cx - radius) / n * 360.0 - 180.0
+        east = (cx + radius + 1) / n * 360.0 - 180.0
+        cosl = math.cos(math.radians(lat))
+        d_w = R * math.asin(min(1.0, abs(math.sin(math.radians(lon - west))) * cosl))
+        d_e = R * math.asin(min(1.0, abs(math.sin(math.radians(east - lon))) * cosl))
+    y_lo, y_hi = cy - radius, cy + radius + 1
+    if y_lo <= 0:
+        d_n = float("inf")
+    else:
+        lat_n = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y_lo / n))))
+        d_n = R * math.radians(lat_n - lat)
+    if y_hi >= n:
+        d_s = float("inf")
+    else:
+        lat_s = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y_hi / n))))
+        d_s = R * math.radians(lat - lat_s)
+    return min(d_n, d_s, d_w, d_e)
