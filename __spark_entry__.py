@@ -420,13 +420,18 @@ sh AS (
 
 
 def _oracle_minhash_lsh() -> str:
+    from grandine_spark.functions.text import minhash_salt
+
+    s0, s1, s2, s3 = (minhash_salt(p) for p in range(4))
     return f"""
 WITH {_SHINGLE_SQL},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
 mh AS (
   SELECT doc_id,
-         MIN(md5('0:' || s)) AS mh0, MIN(md5('1:' || s)) AS mh1,
-         MIN(md5('2:' || s)) AS mh2, MIN(md5('3:' || s)) AS mh3
-  FROM sh GROUP BY doc_id),
+         MIN(xor(h, {s0})) AS mh0, MIN(xor(h, {s1})) AS mh1,
+         MIN(xor(h, {s2})) AS mh2, MIN(xor(h, {s3})) AS mh3
+  FROM hs GROUP BY doc_id),
 buckets AS (
   SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS bucket FROM mh
   UNION ALL

@@ -23,31 +23,69 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
-N_PAGES = max(int(2_000_000 * SF), 10_000)
+# sized so the flagship join runs tens of seconds at 8 cores — large enough
+# that steady-state throughput, not fixed overhead, is what gets measured
+N_PAGES = max(int(64_000_000 * SF), 500_000)
+SCALING_PAGES = N_PAGES
 
 
-def _flagship(spark, n_pages: int):
-    """Geocode pages → spatial join vs 200 polygons → joined row count."""
-    from pyspark.sql import functions as F
+PAGES_CACHE = "/tmp/gs_bench_pages"
 
+
+def materialize_pages(spark, n_pages: int, path: str) -> str:
+    """Write the deterministic pages table once (untimed setup) — the engine
+    under test reads stored pages, as a real deployment would."""
+    import os as _os
+
+    marker = os.path.join(path, "_N")
+    if _os.path.exists(marker) and open(marker).read() == str(n_pages):
+        return path
+    from grandine_spark.sources import synth
+
+    synth.pages(spark, n_pages).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(n_pages))
+    return path
+
+
+def _flagship(spark, pages_path: str, limit: int | None = None):
+    """Parquet scan → geocode → spatial join vs 200 polygons → row count."""
     from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
     from grandine_spark.sources import synth
 
-    pages = synth.pages(spark, n_pages)
+    pages = spark.read.parquet(pages_path)
+    if limit:
+        pages = pages.limit(limit)
     feats = synth.features(spark, n_polygons=200, n_roads=0, n_pois=0)
     return spatial_join(geocode_pages(pages), feats, zoom=7).count()
 
 
 def run_flagship_subprocess(cores: int) -> tuple[float, int]:
-    """Run the flagship join in a fresh JVM at the given parallelism."""
+    """Run the flagship join in a fresh JVM at the given parallelism.
+
+    A small warmup run first spawns the Python UDF workers and compiles the
+    codegen stages, so the timed run measures steady-state throughput (what
+    a long job sees) rather than per-JVM fixed startup cost."""
+    # small split size: the synthetic parquet is tiny relative to real data,
+    # so force enough input partitions that all cores have work (a 100 TB
+    # table has thousands of row-groups and never hits this).
     code = (
         "import sys, time, json; sys.path.insert(0, %r);"
         "from grandine_spark.session import get_spark;"
         "import bench;"
-        "spark = get_spark('bench-scaling', cores=%d, shuffle_partitions=%d);"
-        "t0 = time.time(); n = bench._flagship(spark, %d); el = time.time() - t0;"
+        "spark = get_spark('bench-scaling', cores=%d, shuffle_partitions=%d,"
+        " extra_conf={'spark.sql.files.maxPartitionBytes': '1m',"
+        " 'spark.sql.files.openCostInBytes': '128k'});"
+        "bench._flagship(spark, %r, limit=2000);"  # warmup: workers + codegen
+        "t0 = time.time(); n = bench._flagship(spark, %r); el = time.time() - t0;"
         "print(json.dumps({'elapsed': el, 'rows': n})); spark.stop()"
-    ) % (os.path.dirname(os.path.abspath(__file__)), cores, cores, N_PAGES)
+    ) % (
+        os.path.dirname(os.path.abspath(__file__)),
+        cores,
+        cores,
+        PAGES_CACHE,
+        PAGES_CACHE,
+    )
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -65,7 +103,15 @@ def main():
 
     from grandine_spark.session import get_spark
 
-    spark = get_spark("grandine-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(
+        "grandine-bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 
@@ -84,7 +130,9 @@ def main():
     from grandine_spark.operators.tiling import build_tiles, tile_assignments
     from grandine_spark.sources import synth
 
-    pages = synth.pages(spark, N_PAGES)
+    print(f"[bench] materializing {SCALING_PAGES} pages ...", file=sys.stderr, flush=True)
+    materialize_pages(spark, SCALING_PAGES, PAGES_CACHE)
+    pages = spark.read.parquet(PAGES_CACHE)
     feats = synth.features(spark, n_polygons=200, n_roads=100, n_pois=200)
     pts = geocode_pages(pages).select("url", "lon", "lat")
     pts.cache()

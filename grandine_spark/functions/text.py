@@ -158,22 +158,46 @@ def doc_fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as an array<string> (space-joined), via transform over
     token positions — JVM-side."""
+    # PERF: never index the token array inside a per-element lambda — Catalyst
+    # inlines the split() expression, making it O(tokens²) per row. Instead
+    # zip k shifted slices (split evaluates a constant number of times per
+    # row) and concat element-wise.
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
+    m = F.greatest(n - F.lit(k - 1), F.lit(0))
+    shifted = [F.slice(toks, j + 1, m) for j in range(k)]
+    zipped = F.arrays_zip(*shifted)
     shingled = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
     return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_hashes(shingles: Column) -> Column:
+    """One 60-bit integer hash per shingle: bigint of the first 15 hex chars
+    of md5 — computed ONCE; permutations derive from it by XOR (cheap integer
+    ops instead of k md5 passes). Identical in DuckDB:
+    ``('0x' || substr(md5(s),1,15))::BIGINT``."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
+def minhash_salt(p: int) -> int:
+    """Deterministic 60-bit XOR salt for permutation p (golden-ratio mix)."""
+    return (p * 0x9E3779B97F4A7C15) & ((1 << 60) - 1)
+
+
 def minhash_signature(shingles: Column, n_perm: int = 16) -> list[Column]:
-    """MinHash via md5 with per-permutation salts: sig_p = min(md5(p || ':' ||
-    shingle)). md5 is identical across Spark/DuckDB → oracle-checkable.
-    Lexicographic min over hex strings is a valid uniform min-hash."""
+    """MinHash signatures: sig_p = min over shingles of (h XOR salt_p), with
+    h the md5-derived 60-bit hash (one md5 per shingle total). The XOR family
+    permutes the keyspace per p; md5+conv are identical across Spark/DuckDB →
+    oracle-checkable."""
+    hashes = shingle_hashes(shingles)
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s)))
+            F.transform(hashes, lambda h: h.bitwiseXOR(F.lit(minhash_salt(p))))
         ).alias(f"mh{p}")
         for p in range(n_perm)
     ]

@@ -49,18 +49,29 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     n_perm: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: near-duplicate CANDIDATE pairs (a < b).
 
-    shingle → per-permutation md5 min-hash → concat ``band_size`` hashes per
-    band → self-join per band bucket → distinct pairs. Documents with no
-    shingles are excluded.
+    shingle → integer min-hash per permutation (one md5 per shingle, XOR
+    family) → concat ``band_size`` hashes per band → self-join per band
+    bucket → distinct pairs. Documents with no shingles are excluded.
+    ``max_bucket``: optional skew guard — drop buckets wider than this before
+    the self-join (see operators.skew.cap_buckets).
     """
-    shingles = TXT.word_shingles(F.col(text_col), shingle_k)
-    sig = df.select(
+    # materialize the per-shingle integer hashes once (single md5 pass),
+    # then derive every permutation by XOR over the int array
+    hashed = df.select(
         F.col(id_col),
-        *TXT.minhash_signature(shingles, n_perm),
-        F.size(shingles).alias("_ns"),
+        TXT.shingle_hashes(TXT.word_shingles(F.col(text_col), shingle_k)).alias("_h"),
+    )
+    def _xor_min(salt: int):
+        return F.array_min(F.transform(F.col("_h"), lambda h: h.bitwiseXOR(F.lit(salt))))
+
+    sig = hashed.select(
+        F.col(id_col),
+        *[_xor_min(TXT.minhash_salt(p)).alias(f"mh{p}") for p in range(n_perm)],
+        F.size(F.col("_h")).alias("_ns"),
     ).filter(F.col("_ns") > 0)
 
     n_bands = n_perm // band_size
@@ -75,6 +86,10 @@ def minhash_lsh_pairs(
     # one row per (doc, band-signature), then bucket self-join
     stack_expr = F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
     buckets = banded.select(F.col(id_col), stack_expr.alias("bucket"))
+    if max_bucket is not None:
+        from .skew import cap_buckets
+
+        buckets = cap_buckets(buckets, "bucket", max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -133,7 +148,29 @@ def ngram_jaccard_pairs(
 def simhash_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    """SimHash fingerprint per document (near-dup candidates share a value)."""
-    return df.select(
-        F.col(id_col), TXT.simhash64ish(F.col(text_col), bits).alias("simhash")
-    )
+    """SimHash fingerprint per document (near-dup candidates share a value).
+
+    Explode-based evaluation: md5 runs ONCE per token row; the ``bits`` bit
+    contributions are cheap substring CASEs aggregated in a single groupBy.
+    Semantics identical to functions.text.simhash64ish (same bit source)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).select(F.col(id_col), F.md5(F.col("_tok")).alias("_h"))
+    hexset = ("8", "9", "a", "b", "c", "d", "e", "f")
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("_h"), b + 1, 1).isin(*hexset), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"_c{b}")
+        for b in range(bits)
+    ]
+    contrib = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_c{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return contrib.select(F.col(id_col), sim.alias("simhash"))

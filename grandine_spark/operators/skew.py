@@ -1,0 +1,65 @@
+"""Explicit skew handling (north rule): hot-cell detection, salted two-phase
+aggregation, and LSH bucket-width guards.
+
+The reference acknowledges the same problem by randomizing its tile worklist
+(cmd/tiler/shuffle.go:11-15) — dense urban cells cluster in z-order. In this
+engine:
+
+- broadcast spatial joins are skew-immune (no shuffle on the big side);
+- AQE skew-join splitting covers shuffle joins;
+- groupBy aggregations get map-side partial aggregation from Spark, and for
+  pathological key distributions ``salted_agg`` makes the two-phase split
+  explicit (salt → partial → merge) — valid for any commutative monoid;
+- tile-encode groups cannot be split (MVT dictionaries are order-sensitive,
+  SURVEY.md §7) — ``hot_keys`` surfaces them so the pipeline can cap or
+  reroute upstream;
+- LSH self-joins get ``cap_buckets``: a bucket shared by too many documents
+  (boilerplate shingles) would create a quadratic pair blowup; dropping
+  over-wide buckets is the standard guard (it only loses candidates that
+  band-agree with thousands of others — near-certain true duplicates that
+  exact-dedup already catches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(df: DataFrame, keys: list[str], threshold: int) -> DataFrame:
+    """Keys whose row count exceeds ``threshold`` (the skew pre-pass)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Explicit two-phase aggregation with a salt column.
+
+    ``aggs``: {out_name: (partial_fn, merge_fn, col)} where partial runs per
+    (keys, salt) and merge re-aggregates per keys — e.g.
+    ``{"n": (F.count, F.sum, F.lit(1)), "mx": (F.max, F.max, F.col("v"))}``.
+    Output equals the unsalted aggregation for any commutative monoid.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salt)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[pfn(c).alias(f"_p_{name}") for name, (pfn, _, c) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[mfn(F.col(f"_p_{name}")).alias(name) for name, (_, mfn, c) in aggs.items()]
+    )
+
+
+def cap_buckets(buckets: DataFrame, bucket_col: str, max_width: int) -> DataFrame:
+    """Drop buckets wider than ``max_width`` rows before a self-join —
+    bounds the join to O(buckets · max_width²)."""
+    widths = buckets.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_w"))
+    ok = widths.filter(F.col("_w") <= max_width).select(bucket_col)
+    return buckets.join(F.broadcast(ok), bucket_col, "inner")

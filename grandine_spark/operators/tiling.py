@@ -72,16 +72,25 @@ def cell_stats(features: DataFrame, zooms: list[int]) -> DataFrame:
     return out
 
 
-def _make_encoder(gzip: bool):
+def _make_encoder(gzip: bool, simplify: bool = False):
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.geometry import simplify_rdp
+        from ..kernels.tilemath import resolution
+
         z = int(pdf["tile_z"].iloc[0])
         x = int(pdf["tile_x"].iloc[0])
         y = int(pdf["tile_y"].iloc[0])
+        eps = resolution(z, 4096) if simplify else None
         # deterministic order regardless of shuffle arrival
         pdf = pdf.sort_values("feature_id", kind="mergesort")
         by_layer: dict[str, list[dict]] = {}
         for _, row in pdf.iterrows():
             gt, coords = from_wkb(bytes(row["wkb"]))
+            # per-zoom simplification (Line.Simplify, lib/spatial/line.go:171-200,
+            # epsilon = the zoom's minimal describable value, tile.go:52-54;
+            # lines only, matching the dispatch in lib/spatial/geom.go:361-371)
+            if eps is not None and gt == 2:
+                coords = simplify_rdp(coords, eps)
             props = dict(row["props"]) if row["props"] is not None else {}
             by_layer.setdefault(row["layer_name"], []).append(
                 {"geom_type": gt, "coords": coords, "props": props}
@@ -105,7 +114,7 @@ def _make_encoder(gzip: bool):
 
 
 def build_tiles(
-    features: DataFrame, zooms: list[int], gzip: bool = False
+    features: DataFrame, zooms: list[int], gzip: bool = False, simplify: bool = False
 ) -> DataFrame:
     """features → MVT tiles at the given zoom levels.
 
@@ -128,7 +137,7 @@ def build_tiles(
 
     return (
         all_cov.groupBy("tile_z", "tile_x", "tile_y")
-        .applyInPandas(_make_encoder(gzip), TILES_SCHEMA)
+        .applyInPandas(_make_encoder(gzip, simplify), TILES_SCHEMA)
         .filter(F.col("tile").isNotNull())
     )
 
