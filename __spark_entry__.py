@@ -314,6 +314,41 @@ def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM-style way assembly (spatialize semantics as joins): nodes are the
+    derived document points, ways chain 5 consecutive node ids; output the
+    order-sensitive path length per assembled way."""
+    from grandine_spark.functions.tile_exprs import haversine_m
+    from grandine_spark.operators.assemble import resolve_way_coords
+
+    pts = _points(spark, sf_dir)
+    nodes = pts.select(
+        F.col("doc_id").alias("node_id"), F.col("lon"), F.col("lat")
+    )
+    ways = (
+        pts.select((F.col("doc_id") / 5).cast("long").alias("way_id"))
+        .distinct()
+        .select(
+            "way_id",
+            F.sequence(F.col("way_id") * 5, F.col("way_id") * 5 + 4).alias("node_ids"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+    resolved = resolve_way_coords(ways, nodes)
+    n = F.size(F.col("coords"))
+    a = F.slice(F.col("coords"), 1, n - 1)
+    b = F.slice(F.col("coords"), 2, n - 1)
+    segs = F.zip_with(
+        a, b, lambda p, q: haversine_m(p["x"], p["y"], q["x"], q["y"])
+    )
+    path = F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
+    return resolved.select(
+        "way_id",
+        n.cast("bigint").alias("n_points"),
+        F.round(path, 3).alias("path_m"),
+    )
+
+
 # --- oracle SQL ---------------------------------------------------------------
 
 
@@ -549,6 +584,22 @@ FROM documents
 """
 
 
+def _oracle_way_assembly() -> str:
+    hav = _HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+segs AS (
+  SELECT a.doc_id // 5 AS way_id, {hav} AS d
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id + 1 AND a.doc_id // 5 = b.doc_id // 5),
+counts AS (
+  SELECT doc_id // 5 AS way_id, COUNT(*) AS n_points FROM pts GROUP BY 1)
+SELECT c.way_id, c.n_points,
+       ROUND(COALESCE(SUM(s.d), 0.0), 3) AS path_m
+FROM counts c LEFT JOIN segs s ON s.way_id = c.way_id
+GROUP BY c.way_id, c.n_points
+"""
+
+
 def _oracle_event_windows() -> str:
     return """
 SELECT event_type,
@@ -612,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "media_meta": q_media_meta,
+        "way_assembly": q_way_assembly,
         "event_windows": q_event_windows,
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
@@ -639,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _oracle_fingerprint(),
         "ann_cosine": _oracle_ann_cosine(),
         "media_meta": _oracle_media_meta(),
+        "way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),

@@ -42,10 +42,22 @@ def materialize_pages(spark, n_pages: int, path: str) -> str:
         return path
     from grandine_spark.sources import synth
 
-    synth.pages(spark, n_pages).write.mode("overwrite").parquet(path)
+    # 256 files: a parquet row group is the real split unit, so file count —
+    # not maxPartitionBytes — caps scan parallelism for small synthetic data
+    synth.pages(spark, n_pages, partitions=256).write.mode("overwrite").parquet(path)
     with open(marker, "w") as f:
         f.write(str(n_pages))
     return path
+
+
+def _warmup(spark, cores: int):
+    """Warm every python UDF worker and the codegen paths on tiny data."""
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, cores * 2000, partitions=cores)
+    feats = synth.features(spark, n_polygons=200, n_roads=0, n_pois=0)
+    spatial_join(geocode_pages(pages), feats, zoom=7).count()
 
 
 def _flagship(spark, pages_path: str, limit: int | None = None):
@@ -76,14 +88,16 @@ def run_flagship_subprocess(cores: int) -> tuple[float, int]:
         "spark = get_spark('bench-scaling', cores=%d, shuffle_partitions=%d,"
         " extra_conf={'spark.sql.files.maxPartitionBytes': '1m',"
         " 'spark.sql.files.openCostInBytes': '128k'});"
-        "bench._flagship(spark, %r, limit=2000);"  # warmup: workers + codegen
-        "t0 = time.time(); n = bench._flagship(spark, %r); el = time.time() - t0;"
-        "print(json.dumps({'elapsed': el, 'rows': n})); spark.stop()"
+        "bench._warmup(spark, %d);"  # spin up EVERY python worker + codegen
+        "best = 1e18;\n"
+        "for _ in range(3):\n"
+        "    t0 = time.time(); n = bench._flagship(spark, %r); best = min(best, time.time() - t0)\n"
+        "print(json.dumps({'elapsed': best, 'rows': n})); spark.stop()"
     ) % (
         os.path.dirname(os.path.abspath(__file__)),
         cores,
         cores,
-        PAGES_CACHE,
+        cores,
         PAGES_CACHE,
     )
     out = subprocess.run(

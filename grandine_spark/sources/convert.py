@@ -106,6 +106,24 @@ def convert(
     raise ValueError(f"output type {ext} not supported")
 
 
+def inspect_features(df: DataFrame, n: int = 20) -> str:
+    """Pretty-print features like grandine-inspect (cmd/inspect/inspect.go:
+    40-97): geometry type, coordinate preview, properties."""
+    names = {1: "Point", 2: "LineString", 3: "Polygon"}
+    lines = []
+    for r in df.limit(n).collect():
+        gt, coords = from_wkb(bytes(r.wkb))
+        if gt == 1:
+            preview = f"({coords[0]:.6f}, {coords[1]:.6f})"
+        elif gt == 2:
+            preview = f"{len(coords)} pts, start ({coords[0][0]:.6f}, {coords[0][1]:.6f})"
+        else:
+            preview = f"{len(coords)} rings, {sum(len(x) for x in coords)} pts"
+        props = dict(r.props or {})
+        lines.append(f"{names.get(gt, '?'):12s} {preview}  {props}")
+    return "\n".join(lines)
+
+
 def features_to_geojson(df: DataFrame) -> DataFrame:
     """Feature rows → GeoJSON strings (S5 encode: rings re-closed, polygons
     re-wound at encode, lib/geojson/codec.go:32-45 + geom.go:152-195)."""
