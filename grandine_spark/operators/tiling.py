@@ -72,7 +72,63 @@ def cell_stats(features: DataFrame, zooms: list[int]) -> DataFrame:
     return out
 
 
-def _make_encoder(gzip: bool, simplify: bool = False):
+def global_bbox(features: DataFrame) -> tuple[float, float, float, float]:
+    """Running global bbox over all features (BBox.ExtendWith aggregate,
+    lib/spatial/bbox.go:9-12 via cmd/tiler/featurecache.go:82-88) — a single
+    native min/max aggregation."""
+    r = features.agg(
+        F.min("minx").alias("minx"),
+        F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"),
+        F.max("maxy").alias("maxy"),
+    ).first()
+    return (r.minx, r.miny, r.maxx, r.maxy)
+
+
+def _encode_tile_geojson(by_layer: dict, x: int, y: int, z: int) -> bytes | None:
+    """Debug GeoJSON tile codec (lib/tile/codec.go:17-31): flatten layers to
+    a FeatureCollection of tile-coordinate features (same project+clip
+    pipeline as MVT, canonical layer/key order)."""
+    import json as _json
+
+    import numpy as np
+
+    from ..kernels import clip as _clip
+    from ..kernels.mvt import EXTENT, TileParams, project_coords
+
+    tp = TileParams(x, y, z)
+    mask = (0.0, 0.0, float(EXTENT), float(EXTENT))
+    feats = []
+    for layer in sorted(by_layer):
+        for ft in by_layer[layer]:
+            projected = project_coords(ft["geom_type"], ft["coords"], tp)
+            for gt, cc in _clip.clip_geom(ft["geom_type"], projected, mask):
+                if gt == 1:
+                    geom = {"type": "Point", "coordinates": [int(cc[0]), int(cc[1])]}
+                elif gt == 2:
+                    geom = {
+                        "type": "LineString",
+                        "coordinates": np.asarray(cc).astype(int).tolist(),
+                    }
+                else:
+                    geom = {
+                        "type": "Polygon",
+                        "coordinates": [
+                            np.asarray(r).astype(int).tolist() + [np.asarray(r)[0].astype(int).tolist()]
+                            for r in cc
+                        ],
+                    }
+                props = {k: v for k, v in sorted(ft["props"].items()) if not k.startswith("@")}
+                props["@layer"] = layer
+                feats.append({"type": "Feature", "geometry": geom, "properties": props})
+    if not feats:
+        return None
+    return _json.dumps(
+        {"type": "FeatureCollection", "features": feats}, sort_keys=True
+    ).encode()
+
+
+def _make_encoder(gzip: bool, simplify: bool = False, codec: str = "mvt"):
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.geometry import simplify_rdp
         from ..kernels.tilemath import resolution
@@ -95,7 +151,10 @@ def _make_encoder(gzip: bool, simplify: bool = False):
             by_layer.setdefault(row["layer_name"], []).append(
                 {"geom_type": gt, "coords": coords, "props": props}
             )
-        buf = encode_tile(by_layer, x, y, z)
+        if codec == "geojson":
+            buf = _encode_tile_geojson(by_layer, x, y, z)
+        else:
+            buf = encode_tile(by_layer, x, y, z)
         if buf is not None and gzip:
             buf = gzip_tile(buf)
         return pd.DataFrame(
@@ -114,7 +173,11 @@ def _make_encoder(gzip: bool, simplify: bool = False):
 
 
 def build_tiles(
-    features: DataFrame, zooms: list[int], gzip: bool = False, simplify: bool = False
+    features: DataFrame,
+    zooms: list[int],
+    gzip: bool = False,
+    simplify: bool = False,
+    codec: str = "mvt",
 ) -> DataFrame:
     """features → MVT tiles at the given zoom levels.
 
@@ -137,7 +200,7 @@ def build_tiles(
 
     return (
         all_cov.groupBy("tile_z", "tile_x", "tile_y")
-        .applyInPandas(_make_encoder(gzip, simplify), TILES_SCHEMA)
+        .applyInPandas(_make_encoder(gzip, simplify, codec), TILES_SCHEMA)
         .filter(F.col("tile").isNotNull())
     )
 
