@@ -39,7 +39,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # batch-throughput GC: this engine's hot loops are allocation-heavy
+        # (string parse, Arrow buffers); ParallelGC beats G1 for short-lived
+        # garbage and keeps multi-threaded stages from anti-scaling on GC
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
