@@ -220,6 +220,23 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(embs, queries, k=5).select("q_id", "vec_id", "rank")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_k=3, threshold=0.8
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grandine_spark.operators.similarity import embedding_near_dup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(embs, threshold=0.4, method="exact").select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.multimodal import extract_media_metadata
 
@@ -575,6 +592,37 @@ SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
 """
 
 
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH {_SHINGLE_SQL},
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(ni::DOUBLE / (sa.sz + sb.sz - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ni::DOUBLE / (sa.sz + sb.sz - ni) >= 0.8
+"""
+
+
+def _oracle_embed_near_dup() -> str:
+    return """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+"""
+
+
 def _oracle_media_meta() -> str:
     return """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -659,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_near_dup": q_embed_near_dup,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
@@ -687,6 +737,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh": _oracle_minhash_lsh(),
         "simhash": _oracle_simhash(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "embed_near_dup": _oracle_embed_near_dup(),
         "lang_quality": _oracle_lang_quality(),
         "fingerprint": _oracle_fingerprint(),
         "ann_cosine": _oracle_ann_cosine(),

@@ -189,9 +189,12 @@ def main():
     )
     meta["indexed_points_per_sec"] = round(n_assign / timings["tile_index_z14"], 1)
 
-    n_tiles = timed("tiles_z2_8", lambda: build_tiles(feats, [2, 5, 8]).count())
+    n_tiles = timed(
+        "tiles_z2_12",
+        lambda: build_tiles(feats, [2, 5, 8, 11, 12]).count(),
+    )
     meta["tiles"] = n_tiles
-    meta["tiles_per_sec"] = round(n_tiles / timings["tiles_z2_8"], 1)
+    meta["tiles_per_sec"] = round(n_tiles / timings["tiles_z2_12"], 1)
 
     queries_df = spark.createDataFrame(
         [(i, float((i * 67) % 340 - 170), float((i * 29) % 140 - 70)) for i in range(100)],

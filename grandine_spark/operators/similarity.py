@@ -132,3 +132,51 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_tables: int = 8,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+
+    ``method="lsh"`` (the 100 TB path): candidates come from any shared
+    random-hyperplane bucket (bucket-equi join, never all-pairs), then exact
+    cosine filters — probabilistic recall, tuned by (n_tables, bits).
+    ``method="exact"``: all-pairs via broadcast self-join — O(n²), for
+    validation and small dims tables only (a sound sub-quadratic exact
+    blocking does not exist for the cosine-threshold predicate).
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if method == "exact":
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        av = vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            F.explode(_table_buckets(F.col(vec_col), dim, n_tables, bits)).alias("bucket"),
+        )
+        bv = vectors.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.explode(_table_buckets(F.col(vec_col), dim, n_tables, bits)).alias("bucket"),
+        )
+        pairs = (
+            av.join(bv, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -172,6 +172,59 @@ def _make_encoder(gzip: bool, simplify: bool = False, codec: str = "mvt"):
     return encode_group
 
 
+def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
+    """Scalar pandas UDF encoding MANY tiles per Arrow batch.
+
+    applyInPandas pays per-GROUP overhead (one pandas frame + one Python
+    call per tile); with the typical tile holding a handful of features
+    that overhead dominates. collect_list + a scalar UDF amortizes it:
+    one Python call per Arrow batch of tiles (~100s of tiles), same bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    result_t = T.StructType(
+        [
+            T.StructField("n_features", T.IntegerType()),
+            T.StructField("tile", T.BinaryType()),
+        ]
+    )
+
+    @pandas_udf(result_t)
+    def encode_batch(
+        zs: pd.Series, xs: pd.Series, ys: pd.Series, feats: pd.Series
+    ) -> pd.DataFrame:
+        from ..kernels.geometry import simplify_rdp
+        from ..kernels.tilemath import resolution
+
+        n_out, buf_out = [], []
+        for z, x, y, group in zip(zs, xs, ys, feats):
+            z, x, y = int(z), int(x), int(y)
+            eps = resolution(z, 4096) if simplify else None
+            # deterministic order regardless of shuffle arrival
+            rows = sorted(group, key=lambda r: r["feature_id"])
+            by_layer: dict[str, list[dict]] = {}
+            for row in rows:
+                gt, coords = from_wkb(bytes(row["wkb"]))
+                if eps is not None and gt == 2:
+                    coords = simplify_rdp(coords, eps)
+                props = dict(row["props"]) if row["props"] is not None else {}
+                by_layer.setdefault(row["layer_name"], []).append(
+                    {"geom_type": gt, "coords": coords, "props": props}
+                )
+            if codec == "geojson":
+                buf = _encode_tile_geojson(by_layer, x, y, z)
+            else:
+                buf = encode_tile(by_layer, x, y, z)
+            if buf is not None and gzip:
+                buf = gzip_tile(buf)
+            n_out.append(len(rows))
+            buf_out.append(buf)
+        return pd.DataFrame(
+            {"n_features": pd.array(n_out, dtype="int32"), "tile": buf_out}
+        )
+
+    return encode_batch
+
+
 def build_tiles(
     features: DataFrame,
     zooms: list[int],
@@ -182,7 +235,13 @@ def build_tiles(
     """features → MVT tiles at the given zoom levels.
 
     One DataFrame covering all zooms (unioned coverage) so Spark schedules a
-    single shuffle; each (z,x,y) group encodes independently.
+    single shuffle; each (z,x,y) group encodes independently. The group is
+    gathered with collect_list (partial-aggregated map-side) and whole tiles
+    are encoded in batches by a scalar pandas UDF — byte-identical to the
+    per-group applyInPandas path, minus its per-tile Python overhead. Tile
+    encode must see the WHOLE group to be byte-stable (MVT dictionaries +
+    merge are order-sensitive), so groups are never split; rows are sorted
+    by feature_id inside the UDF for shuffle-order independence.
     """
     per_zoom = []
     for z in zooms:
@@ -198,9 +257,23 @@ def build_tiles(
     for p in per_zoom[1:]:
         all_cov = all_cov.unionByName(p)
 
+    grouped = all_cov.groupBy("tile_z", "tile_x", "tile_y").agg(
+        F.collect_list(
+            F.struct("feature_id", "layer_name", "wkb", "props")
+        ).alias("feats")
+    )
+    enc = _make_batched_encoder(gzip, simplify, codec)
     return (
-        all_cov.groupBy("tile_z", "tile_x", "tile_y")
-        .applyInPandas(_make_encoder(gzip, simplify, codec), TILES_SCHEMA)
+        grouped.withColumn(
+            "r", enc(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), F.col("feats"))
+        )
+        .select(
+            "tile_z",
+            "tile_x",
+            "tile_y",
+            F.col("r.n_features").alias("n_features"),
+            F.col("r.tile").alias("tile"),
+        )
         .filter(F.col("tile").isNotNull())
     )
 
