@@ -59,9 +59,15 @@ def minhash_lsh_pairs(
     ``max_bucket``: optional skew guard — drop buckets wider than this before
     the self-join (see operators.skew.cap_buckets).
     """
+    # exclude shingle-less docs BEFORE the hash projection, and on the cheap
+    # token count: a filter on size(_h) gets pushed below the projection by
+    # Catalyst with the whole shingle+md5 expression substituted into the
+    # condition — doubling the dominant per-row work in the physical plan.
+    # n_tokens >= k ⟺ the k-shingle list is nonempty.
+    n_tokens = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     # materialize the per-shingle integer hashes once (single md5 pass),
     # then derive every permutation by XOR over the int array
-    hashed = df.select(
+    hashed = df.filter(n_tokens >= F.lit(shingle_k)).select(
         F.col(id_col),
         TXT.shingle_hashes(TXT.word_shingles(F.col(text_col), shingle_k)).alias("_h"),
     )
@@ -71,8 +77,7 @@ def minhash_lsh_pairs(
     sig = hashed.select(
         F.col(id_col),
         *[_xor_min(TXT.minhash_salt(p)).alias(f"mh{p}") for p in range(n_perm)],
-        F.size(F.col("_h")).alias("_ns"),
-    ).filter(F.col("_ns") > 0)
+    )
 
     n_bands = n_perm // band_size
     band_cols = []
