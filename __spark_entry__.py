@@ -237,6 +237,21 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in the probe-all configuration (n_probe == n_centroids):
+    recall is exactly 1, so the brute-force SQL is a valid oracle — the
+    same machinery with n_probe < n_centroids is the 10^12-row scale path."""
+    from grandine_spark.operators.similarity import ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_topk(
+        embs, queries, dim=64, k=5, n_centroids=8, n_probe=8
+    ).select("q_id", "vec_id", "rank")
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.multimodal import extract_media_metadata
 
@@ -316,6 +331,35 @@ def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT tile_x, tile_y, SUM(n) AS n FROM gs_stream_cells GROUP BY 1, 2"
     )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming first-seen dedup (applyInPandasWithState) over the
+    documents table streamed as a single micro-batch — per dup-key the
+    min-doc_id row, so the result IS SQL-expressible (oracle below)."""
+    import tempfile
+
+    from grandine_spark.streaming.pipeline import stream_dedup_first_seen
+
+    tmp = tempfile.mkdtemp(prefix="gs_sdedup_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") % 100).alias("dup_key"), "doc_id"
+    )
+    # one file -> one availableNow micro-batch -> "first seen" == min doc_id
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/d")
+    stream = spark.readStream.schema(docs.schema).parquet(f"{tmp}/d")
+    out = stream_dedup_first_seen(
+        stream, key_col="dup_key", order_col="doc_id", emit_cols=("dup_key", "doc_id")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gs_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql("SELECT dup_key, doc_id AS keeper_id FROM gs_sdedup")
 
 
 def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,12 +756,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "media_meta": q_media_meta,
         "way_assembly": q_way_assembly,
         "event_windows": q_event_windows,
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
         "stream_cell_counts": q_stream_cell_counts,
+        "stream_dedup": q_stream_dedup,
         "tiles": q_tiles,
     }
 
@@ -739,9 +785,14 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embed_near_dup": _oracle_embed_near_dup(),
+        "stream_dedup": (
+            "SELECT doc_id % 100 AS dup_key, MIN(doc_id) AS keeper_id "
+            "FROM documents GROUP BY dup_key"
+        ),
         "lang_quality": _oracle_lang_quality(),
         "fingerprint": _oracle_fingerprint(),
         "ann_cosine": _oracle_ann_cosine(),
+        "ann_ivf": _oracle_ann_cosine(),
         "media_meta": _oracle_media_meta(),
         "way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),

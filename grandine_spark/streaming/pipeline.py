@@ -52,3 +52,51 @@ def stream_tile_assignments(pages_stream: DataFrame, zoom: int = 14) -> DataFram
         TX.tile_x(F.col("lon"), zoom).alias("tile_x"),
         TX.tile_y(F.col("lat"), zoom).alias("tile_y"),
     )
+
+
+def stream_dedup_first_seen(
+    pages_stream: DataFrame,
+    key_col: str = "url",
+    order_col: str = "warc_ts",
+    emit_cols: tuple = ("url", "warc_ts"),
+) -> DataFrame:
+    """Stateful streaming dedup: per key, emit exactly one row — the first
+    seen (min ``order_col`` within the arriving batch) — and suppress every
+    later occurrence via per-key state (applyInPandasWithState).
+
+    The custom-stateful-operator pattern for a continuously ingested corpus:
+    the state store holds one boolean per key (URL hash), so re-crawled
+    pages are dropped at ingest instead of in a downstream batch dedup. At
+    10^12 documents the state is RocksDB-backed and partitioned by the
+    groupBy hash, exactly like the batch dedup's shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ", ".join(
+        f"`{c}` {dict(pages_stream.dtypes)[c]}" for c in emit_cols
+    )
+
+    def dedup_fn(key, pdfs, state: "GroupState"):
+        if state.exists:
+            for _ in pdfs:  # drain; key already emitted in an earlier batch
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col, kind="mergesort").iloc[[0]]
+            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
+        state.update((True,))
+        if best is not None:
+            yield best[list(emit_cols)]
+
+    return pages_stream.groupBy(key_col).applyInPandasWithState(
+        dedup_fn,
+        out_schema,
+        "seen boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -116,3 +116,44 @@ def test_streaming_matches_batch(spark, tmp_path):
     g = {(r.tile_x, r.tile_y): r.n for r in got.collect()}
     b = {(r.tile_x, r.tile_y): r.n for r in batch.collect()}
     assert g == b
+
+
+def test_stream_dedup_first_seen_state(spark, tmp_path):
+    """A key occurring in two micro-batches is emitted exactly once (state
+    suppression); within a batch the min-order row wins."""
+    import pandas as pd
+
+    from grandine_spark.streaming.pipeline import stream_dedup_first_seen
+
+    d = tmp_path / "in"
+    d.mkdir()
+    df1 = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 5)], "k string, ord long"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 0), ("c", 7)], "k string, ord long"
+    )
+    df1.coalesce(1).write.parquet(str(d / "f1"))
+    df2.coalesce(1).write.parquet(str(d / "f2"))
+    stream = spark.readStream.schema(df1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d / "*"))
+    out = stream_dedup_first_seen(
+        stream, key_col="k", order_col="ord", emit_cols=("k", "ord")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.k: r.ord for r in spark.sql("SELECT * FROM t_sdedup").collect()}
+    # each key exactly once; 'a' kept its first-batch minimum (1 or 0
+    # depending on which file formed batch 0 — but never both)
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["b"] == 5 and rows["c"] == 7
+    assert rows["a"] in (0, 1)
+    n = spark.sql("SELECT count(*) AS n FROM t_sdedup").collect()[0].n
+    assert n == 3

@@ -139,3 +139,40 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\xff\xd8\xff")
+
+
+def test_ivf_probe_all_equals_bruteforce(spark):
+    import pyspark.sql.functions as F
+
+    from grandine_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    bf = {(r.q_id, r.vec_id, r.rank) for r in brute_force_topk(embs, q, k=5).collect()}
+    ivf = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in ivf_topk(embs, q, dim=64, k=5, n_centroids=4, n_probe=4).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_subset(spark):
+    """n_probe < n_centroids: approximate — every returned neighbor must
+    still be a true vector id and per-query results stay ranked."""
+    import pyspark.sql.functions as F
+
+    from grandine_spark.operators.similarity import ivf_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ivf_topk(embs, q, dim=64, k=5, n_centroids=8, n_probe=2).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
