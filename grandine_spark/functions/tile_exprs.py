@@ -110,6 +110,15 @@ def point_in_bbox(px, py, minx, miny, maxx, maxy) -> Column:
     return (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
 
 
+def bbox_fully_in(
+    aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy
+) -> Column:
+    """BBox.FullyIn — a ⊆ b (lib/spatial/bbox.go:19-21), native predicate."""
+    return (
+        (aminx >= bminx) & (amaxx <= bmaxx) & (aminy >= bminy) & (amaxy <= bmaxy)
+    )
+
+
 def haversine_m(lon1, lat1, lon2, lat2) -> Column:
     """Haversine meters, R=6371000 (lib/spatial/point.go:107-123), native."""
     rl1 = F.radians(lat1)
