@@ -170,6 +170,21 @@ def q_raster_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rasterize_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector→raster over areal features: per-cell covering-bbox counts."""
+    from grandine_spark.operators.raster import rasterize_areas
+
+    pts = _points(spark, sf_dir)
+    boxed = pts.select(
+        "doc_id",
+        (F.col("lon") - (F.col("doc_id") % 5 + 1) * 0.3).alias("minx"),
+        (F.col("lat") - (F.col("doc_id") % 3 + 1) * 0.2).alias("miny"),
+        (F.col("lon") + (F.col("doc_id") % 5 + 1) * 0.3).alias("maxx"),
+        (F.col("lat") + (F.col("doc_id") % 3 + 1) * 0.2).alias("maxy"),
+    )
+    return rasterize_areas(boxed, 6).select("tile_x", "tile_y", "n")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.dedup import dedup_exact
 
@@ -451,6 +466,27 @@ boxed AS (
 SELECT doc_id,
        ({x2} - {x1} + 1) * ({y2} - {y1} + 1) AS n_cells
 FROM boxed
+"""
+
+
+def _oracle_rasterize_areas() -> str:
+    x1, y2 = _tile_sql("minx", "miny", 6)
+    x2, y1 = _tile_sql("maxx", "maxy", 6)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+boxed AS (
+  SELECT doc_id,
+         lon - (doc_id % 5 + 1) * 0.3 AS minx,
+         lat - (doc_id % 3 + 1) * 0.2 AS miny,
+         lon + (doc_id % 5 + 1) * 0.3 AS maxx,
+         lat + (doc_id % 3 + 1) * 0.2 AS maxy
+  FROM pts),
+cells AS (
+  SELECT gx.x AS tile_x, gy.y AS tile_y
+  FROM boxed,
+       LATERAL (SELECT UNNEST(generate_series({x1}, {x2})) AS x) gx,
+       LATERAL (SELECT UNNEST(generate_series({y1}, {y2})) AS y) gy)
+SELECT tile_x, tile_y, count(*) AS n FROM cells GROUP BY 1, 2
 """
 
 
@@ -745,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts": q_cell_counts,
         "cell_downsample": q_cell_downsample,
         "coverage": q_coverage,
+        "rasterize_areas": q_rasterize_areas,
         "spatial_join": q_spatial_join,
         "knn": q_knn,
         "raster_to_vector": q_raster_to_vector,
@@ -774,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts": _oracle_cell_counts(),
         "cell_downsample": _oracle_cell_downsample(),
         "coverage": _oracle_coverage(),
+        "rasterize_areas": _oracle_rasterize_areas(),
         "spatial_join": _oracle_spatial_join(),
         "knn": _oracle_knn(),
         "raster_to_vector": _oracle_raster_to_vector(),

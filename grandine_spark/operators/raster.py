@@ -95,3 +95,17 @@ def resample_to_polygons(
             F.count(F.lit(1)).alias("n_cells"),
         )
     )
+
+
+def rasterize_areas(areas: DataFrame, zoom: int, value_col: str | None = None) -> DataFrame:
+    """vector→raster for AREAL features: per cell, the number of features
+    whose bbox covers it (+ optional value sum) — bbox-coverage semantics,
+    i.e. the density raster of the cell-join replication itself (J2/J4).
+    Input needs (minx, miny, maxx, maxy) columns; native explode+groupBy."""
+    cov = TX.explode_coverage(areas, zoom)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        cov.groupBy("tile_x", "tile_y").agg(*aggs).withColumn("tile_z", F.lit(zoom))
+    )
