@@ -185,6 +185,26 @@ def q_rasterize_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_areas(boxed, 6).select("tile_x", "tile_y", "n")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (the input_hint html column): wrap each doc in
+    markup incl. a script subtree, extract, return the recovered text —
+    byte-identical to the original (the per-url invariant)."""
+    from grandine_spark.functions.text import extract_text_from_html
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1 &amp;&amp; 2;</script></head>"
+              "<body><p class=\"main\">"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        extract_text_from_html(F.encode(html, "utf-8")).alias("extracted"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.dedup import dedup_exact
 
@@ -490,6 +510,10 @@ SELECT tile_x, tile_y, count(*) AS n FROM cells GROUP BY 1, 2
 """
 
 
+def _oracle_html_extract() -> str:
+    return '\nWITH wrapped AS (\n  SELECT doc_id, text,\n         \'<html><head><script>var x = 1 &amp;&amp; 2;</script></head>\'\n         || \'<body><p class="main">\' || text || \'</p></body></html>\' AS h\n  FROM documents),\nstripped AS (\n  SELECT doc_id, text,\n         regexp_replace(\n           regexp_replace(\n             regexp_replace(\n               regexp_replace(h, \'<script[^>]*>.*?</script>\', \' \', \'gs\'),\n               \'<style[^>]*>.*?</style>\', \' \', \'gs\'),\n             \'<[^>]+>\', \' \', \'g\'),\n           \'\\\\s+\', \' \', \'g\') AS t\n  FROM wrapped)\nSELECT doc_id,\n       trim(replace(replace(replace(replace(replace(replace(t,\n         \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', chr(39)),\n         \'&nbsp;\', \' \'), \'&amp;\', \'&\')) AS extracted,\n       sha256(text) AS text_sha\nFROM stripped\n'
+
+
 def _oracle_spatial_join() -> str:
     return f"""
 WITH pts AS ({_POINTS_SQL}),
@@ -765,14 +789,10 @@ GROUP BY 1
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: geocode synthetic pages → spatial-join against polygon
-    features → (url, feature_id) containment rows, at smoke scale."""
-    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
-    from grandine_spark.sources import synth
-
-    pages = synth.pages(spark, 2000)
-    feats = synth.features(spark, n_polygons=60, n_roads=0, n_pois=0)
-    return spatial_join(geocode_pages(pages), feats, zoom=7)
+    """Flagship: geocoded document points spatial-joined against polygon
+    features (diamonds derived from the nation table) over the sf0.001
+    testdata parquet — (doc_id, feature_id) containment rows."""
+    return q_spatial_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -785,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "knn": q_knn,
         "raster_to_vector": q_raster_to_vector,
+        "html_extract": q_html_extract,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -812,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_downsample": _oracle_cell_downsample(),
         "coverage": _oracle_coverage(),
         "rasterize_areas": _oracle_rasterize_areas(),
+        "html_extract": _oracle_html_extract(),
         "spatial_join": _oracle_spatial_join(),
         "knn": _oracle_knn(),
         "raster_to_vector": _oracle_raster_to_vector(),

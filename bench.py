@@ -158,11 +158,18 @@ def main():
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 
-    def timed(name, fn):
+    def timed(name, fn, reps=3):
+        """min-of-reps: the host is a shared VM with multi-minute noise
+        episodes (observed 2-4x slowdowns); a single sample can land inside
+        one. Interference only ever slows a run, so min estimates steady
+        state."""
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best, out = 1e18, None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
@@ -182,7 +189,7 @@ def main():
     n_pts = pts.count()
 
     joined_rows = timed(
-        "spatial_join", lambda: spatial_join(pts, feats, zoom=7).count()
+        "spatial_join", lambda: spatial_join(pts, feats, zoom=7).count(), reps=2
     )
     meta["joined_rows"] = joined_rows
     meta["joined_rows_per_sec"] = round(joined_rows / timings["spatial_join"], 1)
@@ -195,6 +202,7 @@ def main():
     n_tiles = timed(
         "tiles_z2_12",
         lambda: build_tiles(feats, [2, 5, 8, 11, 12]).count(),
+        reps=2,
     )
     meta["tiles"] = n_tiles
     meta["tiles_per_sec"] = round(n_tiles / timings["tiles_z2_12"], 1)
@@ -203,7 +211,7 @@ def main():
         [(i, float((i * 67) % 340 - 170), float((i * 29) % 140 - 70)) for i in range(100)],
         "q_id int, lon double, lat double",
     )
-    timed("knn_100q", lambda: knn(pts, queries_df, k=10, zoom=6).count())
+    timed("knn_100q", lambda: knn(pts, queries_df, k=10, zoom=6).count(), reps=2)
 
     timed(
         "rasterize_z10_to_z4",
@@ -252,7 +260,7 @@ def main():
             # sample the same conditions; min per side filters the noise
             # (interference only ever slows a run down).
             tn = t4n = 1e18
-            for _ in range(2):
+            for _ in range(3):
                 t, rows_n = run_flagship_subprocess(SCALING_N)
                 tn = min(tn, t)
                 t, rows_4n = run_flagship_subprocess(SCALING_4N)

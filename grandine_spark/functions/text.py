@@ -226,3 +226,28 @@ def simhash64ish(text: Column, bits: int = 32) -> Column:
             F.lit(0).cast("bigint")
         )
     return out
+
+
+def extract_text_from_html(html: Column) -> Column:
+    """Deterministic HTML→text extraction, entirely JVM-side (the per-row
+    invariant of BASELINE.json: byte-identical extracted text per url —
+    asserted in tests against the pages generator's known wrapping).
+
+    Chain: decode utf-8 → drop <script>/<style> subtrees → strip tags →
+    unescape the common entities → collapse whitespace. RE2-compatible
+    patterns (no backreferences) so the DuckDB oracle can run the exact
+    same chain."""
+    t = html.cast("string")
+    t = F.regexp_replace(t, r"(?s)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?s)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

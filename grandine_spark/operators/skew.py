@@ -63,3 +63,51 @@ def cap_buckets(buckets: DataFrame, bucket_col: str, max_width: int) -> DataFram
     widths = buckets.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_w"))
     ok = widths.filter(F.col("_w") <= max_width).select(bucket_col)
     return buckets.join(F.broadcast(ok), bucket_col, "inner")
+
+
+def salted_cell_join(
+    big: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    threshold: int = 1_000_000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Shuffle equi-join with explicit hot-key salting (north rule).
+
+    For keys whose row count on the ``big`` side exceeds ``threshold``
+    (dense urban cells / popular-domain clusters), big-side rows get a
+    random salt in [0, n_salt) and the ``dim`` side is replicated across
+    all salts for those keys; cold keys join with salt 0 — so one hot cell
+    spreads over ``n_salt`` reducers instead of one straggler. Join output
+    equals the unsalted join exactly (dim replication × salt partition of
+    the big side is a partition of the original pairs).
+
+    Complements AQE's skew-join splitting: AQE only splits when a sort-
+    merge join's partition exceeds its size threshold at runtime; explicit
+    salting also covers hash joins and keeps the plan deterministic.
+    """
+    hot = (
+        hot_keys(big, keys, threshold)
+        .select(*keys)
+        .withColumn("_hot", F.lit(True))
+    )
+    p = big.join(F.broadcast(hot), keys, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
+                F.lit(n_salt),
+            ),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+    d = dim.join(F.broadcast(hot), keys, "left").withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).drop("_hot")
+    return p.join(d, keys + ["_salt"]).drop("_salt")

@@ -127,11 +127,15 @@ def spatial_join(
     broadcast: bool = True,
     point_cols: tuple = ("url",),
     feature_cols: tuple = ("feature_id",),
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """points(lon,lat,…) ⨝ polygon features → refined containment rows.
 
     Returns one row per (point, containing polygon) with ``point_cols`` +
-    ``feature_cols``.
+    ``feature_cols``. ``salt_threshold`` (shuffle path only): cells holding
+    more points than this get explicit hot-cell salting
+    (skew.salted_cell_join) so a dense urban cell spreads over many
+    reducers instead of one straggler; output is identical.
     """
     pts = index_points(points, zoom)
     cells = polygons_by_cell(features, zoom)
@@ -161,7 +165,14 @@ def spatial_join(
         )
         return refined.select(*[F.col(c) for c in point_cols + feature_cols])
 
-    joined = pts.join(dim, ["cell_x", "cell_y"], "inner")
+    if salt_threshold is not None:
+        from .skew import salted_cell_join
+
+        joined = salted_cell_join(
+            pts, cells, ["cell_x", "cell_y"], threshold=salt_threshold
+        )
+    else:
+        joined = pts.join(dim, ["cell_x", "cell_y"], "inner")
 
     # stage 1: native bbox filter (cheap, codegen) before the Python boundary
     coarse = joined.filter(

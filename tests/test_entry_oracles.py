@@ -85,4 +85,4 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
-    assert set(df.columns) == {"url", "feature_id"}
+    assert set(df.columns) == {"doc_id", "feature_id"}

@@ -80,3 +80,46 @@ def test_simplify_per_zoom_shrinks_tiles(spark):
     }
     assert simp.keys() == plain.keys()
     assert sum(simp.values()) < sum(plain.values())
+
+
+def test_salted_cell_join_equals_plain(spark):
+    """Hot-cell salted join returns exactly the unsalted join's rows."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.skew import salted_cell_join
+
+    # 2000 rows in one hot cell, a handful elsewhere
+    big = spark.range(2100).select(
+        F.col("id"),
+        F.when(F.col("id") < 2000, F.lit(3)).otherwise(F.col("id") % 7).alias("cx"),
+        F.when(F.col("id") < 2000, F.lit(4)).otherwise(F.col("id") % 5).alias("cy"),
+    )
+    dim = spark.createDataFrame(
+        [(3, 4, "hot"), (1, 2, "cold"), (6, 4, "other")], "cx long, cy long, tag string"
+    )
+    plain = {(r.id, r.tag) for r in big.join(dim, ["cx", "cy"]).collect()}
+    salted = {
+        (r.id, r.tag)
+        for r in salted_cell_join(big, dim, ["cx", "cy"], threshold=100, n_salt=8).collect()
+    }
+    assert salted == plain and len(plain) > 2000
+
+
+def test_spatial_join_salted_shuffle_path(spark):
+    """spatial_join(broadcast=False, salt_threshold=...) matches broadcast."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 3000)
+    feats = synth.features(spark, n_polygons=40, n_roads=0, n_pois=0)
+    pts = geocode_pages(pages)
+    a = {(r.url, r.feature_id) for r in spatial_join(pts, feats, zoom=6).collect()}
+    b = {
+        (r.url, r.feature_id)
+        for r in spatial_join(
+            pts, feats, zoom=6, broadcast=False, salt_threshold=50
+        ).collect()
+    }
+    assert a == b and len(a) > 0

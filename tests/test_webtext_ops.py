@@ -176,3 +176,27 @@ def test_ivf_partial_probe_subset(spark):
         by_q.setdefault(r.q_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_html_extract_byte_identical_per_url(spark):
+    """BASELINE invariant: text recovered from the html column is
+    byte-identical (sha256) per url to the carried text column, modulo the
+    extractor's documented whitespace normalization (synth text may carry a
+    trailing space when no geotag was appended — markup cannot preserve
+    it)."""
+    import pyspark.sql.functions as F
+
+    from grandine_spark.functions.text import extract_text_from_html
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 500)
+    mismatch = (
+        pages.select(
+            "url",
+            F.sha2(F.trim(F.col("text")), 256).alias("a"),
+            F.sha2(extract_text_from_html(F.col("html")), 256).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mismatch == 0
