@@ -1,0 +1,82 @@
+"""Physical-plan regression tests — the 100 TB scale guards (PLANS.md).
+
+These assert plan SHAPE, not timing: a refactor that silently introduces a
+shuffle on the pages side, drops column pruning, or un-broadcasts the dim
+side would pass row-level tests but be catastrophic at scale.
+"""
+
+import contextlib
+import io
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    from grandine_spark.sources import synth
+
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    synth.pages(spark, 500).write.parquet(p)
+    return p
+
+
+def test_spatial_join_broadcast_no_shuffle(spark, pages_path):
+    """Flagship plan: one stage — broadcast dim, pages side never shuffles,
+    bbox predicate inside the join, PIP is the only Python node."""
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = spark.read.parquet(pages_path)
+    feats = synth.features(spark, n_polygons=20, n_roads=0, n_pois=0)
+    plan = plan_of(spatial_join(geocode_pages(pages), feats, zoom=6))
+    assert "BroadcastHashJoin" in plan
+    # BroadcastExchange only — no shuffle Exchange node anywhere
+    assert not re.findall(r"\bExchange \(\d+\)", plan)
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1
+
+
+def test_spatial_join_scan_prunes_html(spark, pages_path):
+    """The wide binary column must never reach the pages scan."""
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = spark.read.parquet(pages_path)
+    feats = synth.features(spark, n_polygons=20, n_roads=0, n_pois=0)
+    plan = plan_of(spatial_join(geocode_pages(pages), feats, zoom=6))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("html" not in l for l in scan_lines)
+
+
+def test_minhash_single_shuffle(spark, tmp_path):
+    from grandine_spark.operators.dedup import minhash_lsh_pairs
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = plan_of(minhash_lsh_pairs(docs, n_perm=4, band_size=2))
+    # one shuffle (the distinct-pairs agg); the bucket self-join broadcasts
+    assert len(set(re.findall(r"\bExchange \(\d+\)", plan))) == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tiles_partial_collect_list_mapside(spark):
+    """Tile grouping must partial-aggregate map-side (collect_list) and the
+    encode UDF must be a scalar Arrow UDF over grouped rows."""
+    from grandine_spark.operators.tiling import build_tiles
+    from grandine_spark.sources import synth
+
+    feats = synth.features(spark, n_polygons=20, n_roads=0, n_pois=0)
+    plan = plan_of(build_tiles(feats, [3]))
+    assert "partial_collect_list" in plan
+    assert "ArrowEvalPython" in plan
