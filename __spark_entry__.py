@@ -410,6 +410,20 @@ def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary blobs (documents text as the stand-in
+    media column): 4 deterministic 16-byte frames per doc via mapInPandas."""
+    from grandine_spark.operators.multimodal import sample_frames
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+    return sample_frames(d, id_col="doc_id", bin_col="blob", n_frames=4).select(
+        "doc_id", "frame_idx", "frame"
+    )
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OSM-style way assembly (spatialize semantics as joins): nodes are the
     derived document points, ways chain 5 consecutive node ids; output the
@@ -736,6 +750,10 @@ FROM documents
 """
 
 
+def _oracle_media_frames() -> str:
+    return '\n-- documents.text is pure ASCII, so char offsets == byte offsets and\n-- encode(substring(text,...)) equals byte-slicing the utf-8 blob\nWITH b AS (\n  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,\n         GREATEST(1, length(text) // 4) AS step\n  FROM documents),\nidx AS (SELECT UNNEST(generate_series(0, 3)) AS frame_idx)\nSELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,\n       encode(substring(text, frame_idx * step + 1, 16)) AS frame\nFROM b CROSS JOIN idx\n'
+
+
 def _oracle_way_assembly() -> str:
     hav = _HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")
     return f"""
@@ -816,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         "way_assembly": q_way_assembly,
         "event_windows": q_event_windows,
         "pricing_summary": q_pricing_summary,
@@ -854,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": _oracle_ann_cosine(),
         "ann_ivf": _oracle_ann_cosine(),
         "media_meta": _oracle_media_meta(),
+        "media_frames": _oracle_media_frames(),
         "way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),
         "pricing_summary": _oracle_pricing_summary(),

@@ -122,3 +122,51 @@ def extract_media_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str = "url", bin_col: str = "html", n_frames: int = 4
+) -> DataFrame:
+    """Video frame-sampling pipeline shape: mapInPandas over binary batches →
+    ``n_frames`` evenly spaced frames per blob, one output row each (the 1→N
+    explode happens inside the Arrow batch, no separate explode stage).
+
+    Decode is a DETERMINISTIC FAKE (evenly spaced byte slices stand in for
+    decoded frames — the container ships no video codec; swap ``decode`` for
+    pyav/ffmpeg in deployment). Partitioning, schema, batch shape, and the
+    row-explosion are the real, tested Spark plumbing.
+    """
+
+    def decode(buf: bytes) -> list[bytes]:
+        n = max(1, len(buf))
+        step = max(1, n // n_frames)
+        return [bytes(buf[i * step : i * step + 16]) for i in range(n_frames)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
+                if b is None:
+                    continue
+                for i, fr in enumerate(decode(bytes(b))):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)

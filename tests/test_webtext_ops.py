@@ -200,3 +200,24 @@ def test_html_extract_byte_identical_per_url(spark):
         .count()
     )
     assert mismatch == 0
+
+
+def test_sample_frames_plumbing(spark):
+    """mapInPandas frame sampling: n rows per blob, deterministic bytes."""
+    import pyspark.sql.functions as F
+
+    from grandine_spark.operators.multimodal import sample_frames
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 50)
+    out = sample_frames(pages, id_col="url", bin_col="html", n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 50 * 4
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
+    # deterministic: two runs agree byte-for-byte
+    again = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in out.collect()}
+    first = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in rows}
+    assert first == again
