@@ -237,6 +237,17 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword proxy."""
+    from grandine_spark.functions import text as TXT
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TXT.token_count_ws(F.col("text")).alias("n_ws"),
+        TXT.token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.functions import text as TXT
 
@@ -682,6 +693,10 @@ FROM g
 """
 
 
+def _oracle_token_stats() -> str:
+    return "\nSELECT doc_id,\n       CASE WHEN trim(text) = '' THEN 0\n            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,\n       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe\nFROM documents\n"
+
+
 def _oracle_fingerprint() -> str:
     m = 1 << 31
     return f"""
@@ -830,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embed_near_dup": q_embed_near_dup,
         "lang_quality": q_lang_quality,
+        "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -869,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY dup_key"
         ),
         "lang_quality": _oracle_lang_quality(),
+        "token_stats": _oracle_token_stats(),
         "fingerprint": _oracle_fingerprint(),
         "ann_cosine": _oracle_ann_cosine(),
         "ann_ivf": _oracle_ann_cosine(),
