@@ -138,33 +138,59 @@ def spatial_join(
     reducers instead of one straggler; output is identical.
     """
     pts = index_points(points, zoom)
-    cells = polygons_by_cell(features, zoom)
-    dim = F.broadcast(cells) if broadcast else cells
 
     if broadcast:
         # broadcast path: geometry rides in the UDF closure, not in the rows —
-        # the join carries only bbox columns + feature_id
-        poly_map = {
-            int(r.feature_id): from_wkb(bytes(r.wkb))[1]
-            for r in features.filter(F.col("geom_type") == 3)
+        # the join carries only bbox columns + feature_id. The dim is built
+        # driver-side (it is small by definition), which also precomputes the
+        # INTERIOR-CELL shortcut: a cell whose closed rect provably lies
+        # inside the polygon (all corners pass PIP, no ring segment touches
+        # the rect) needs no ray-casting at all — with admin-scale polygons
+        # most covered cells are interior, so the Python stage only ray-casts
+        # the boundary fringe. Conservative test ⇒ output identical.
+        from ..kernels.geometry import cell_fully_inside
+        from ..kernels.tilemath import coverage as cell_coverage
+        from ..kernels.tilemath import tile_bbox
+        from ..kernels.wkb import geom_bbox
+
+        spark = points.sparkSession
+        poly_map: dict[int, list] = {}
+        dim_rows = []
+        for r in (
+            features.filter(F.col("geom_type") == 3)
             .select("feature_id", "wkb")
             .collect()
-        }
-        pip = make_pip_udf_closure(poly_map)
-        joined = pts.join(
-            F.broadcast(cells.drop("wkb")), ["cell_x", "cell_y"], "inner"
+        ):
+            fid = int(r.feature_id)
+            rings = from_wkb(bytes(r.wkb))[1]
+            poly_map[fid] = rings
+            bb = geom_bbox(3, rings)
+            for cx, cy, _ in cell_coverage(*bb, zoom):
+                full = cell_fully_inside(tile_bbox(cx, cy, zoom), rings)
+                dim_rows.append((cx, cy, fid, *bb, full))
+        dim_df = spark.createDataFrame(
+            dim_rows,
+            "cell_x long, cell_y long, feature_id long, minx double, "
+            "miny double, maxx double, maxy double, full_inside boolean",
         )
+        sentinel = min(poly_map, default=0) - 1  # fid the UDF never resolves
+        pip = make_pip_udf_closure(poly_map)
+        joined = pts.join(F.broadcast(dim_df), ["cell_x", "cell_y"], "inner")
         coarse = joined.filter(
             TX.point_in_bbox(
                 F.col("lon"), F.col("lat"),
                 F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
             )
         )
+        pip_fid = F.when(F.col("full_inside"), F.lit(sentinel)).otherwise(
+            F.col("feature_id")
+        )
         refined = coarse.filter(
-            pip(F.col("lon"), F.col("lat"), F.col("feature_id"))
+            F.col("full_inside") | pip(F.col("lon"), F.col("lat"), pip_fid)
         )
         return refined.select(*[F.col(c) for c in point_cols + feature_cols])
 
+    cells = polygons_by_cell(features, zoom)
     if salt_threshold is not None:
         from .skew import salted_cell_join
 
@@ -172,7 +198,7 @@ def spatial_join(
             pts, cells, ["cell_x", "cell_y"], threshold=salt_threshold
         )
     else:
-        joined = pts.join(dim, ["cell_x", "cell_y"], "inner")
+        joined = pts.join(cells, ["cell_x", "cell_y"], "inner")
 
     # stage 1: native bbox filter (cheap, codegen) before the Python boundary
     coarse = joined.filter(

@@ -96,3 +96,39 @@ def test_spatial_join_plan_is_broadcast(spark, pages_df, features_df):
         geocode_pages(pages_df), features_df, zoom=7
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_interior_cell_shortcut_identity(spark):
+    """Large polygons (many interior cells at the join zoom): the interior
+    shortcut must trigger AND the output must equal the shuffle path."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.kernels.geometry import cell_fully_inside
+    from grandine_spark.kernels.tilemath import coverage, tile_bbox
+    from grandine_spark.kernels.wkb import from_wkb, geom_bbox
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 4000)
+    feats = synth.features(spark, n_polygons=30, n_roads=0, n_pois=0)
+    pts = geocode_pages(pages)
+
+    # the shortcut actually fires at a fine zoom for at least one polygon
+    n_interior = 0
+    for r in feats.filter(F.col("geom_type") == 3).select("wkb").collect():
+        rings = from_wkb(bytes(r.wkb))[1]
+        bb = geom_bbox(3, rings)
+        for cx, cy, _ in coverage(*bb, 9):
+            if cell_fully_inside(tile_bbox(cx, cy, 9), rings):
+                n_interior += 1
+    assert n_interior > 0
+
+    a = {
+        (r.url, r.feature_id)
+        for r in spatial_join(pts, feats, zoom=9).collect()
+    }
+    b = {
+        (r.url, r.feature_id)
+        for r in spatial_join(pts, feats, zoom=9, broadcast=False).collect()
+    }
+    assert a == b and len(a) > 0
