@@ -141,6 +141,19 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell join (per-feature zoom, bounded replication) —
+    same containment semantics, same oracle as spatial_join."""
+    from grandine_spark.operators.spatial_join import multires_spatial_join
+
+    pts = _points(spark, sf_dir)
+    feats = _diamond_features(spark, sf_dir)
+    return multires_spatial_join(
+        pts, feats, z_coarse=2, z_fine=10,
+        point_cols=("doc_id",), feature_cols=("feature_id",),
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.knn import knn
 
@@ -836,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage": q_coverage,
         "rasterize_areas": q_rasterize_areas,
         "spatial_join": q_spatial_join,
+        "spatial_join_multires": q_spatial_join_multires,
         "knn": q_knn,
         "raster_to_vector": q_raster_to_vector,
         "html_extract": q_html_extract,
@@ -870,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_areas": _oracle_rasterize_areas(),
         "html_extract": _oracle_html_extract(),
         "spatial_join": _oracle_spatial_join(),
+        "spatial_join_multires": _oracle_spatial_join(),
         "knn": _oracle_knn(),
         "raster_to_vector": _oracle_raster_to_vector(),
         "dedup_exact": (

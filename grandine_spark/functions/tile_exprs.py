@@ -157,3 +157,29 @@ def zoom_renderable(props: Column, zoom: int) -> Column:
 def layer_route(props: Column) -> Column:
     """props['@layer'] else 'default' (cmd/tiler/tiler.go:300-312)."""
     return F.coalesce(props.getItem("@layer"), F.lit("default"))
+
+
+def tile_x_dyn(lon: Column, zoom: Column) -> Column:
+    """lon → tile x where ``zoom`` is a COLUMN (multi-resolution joins)."""
+    n = F.pow(F.lit(2.0), zoom.cast("double"))
+    m = (F.pow(F.lit(2.0), zoom.cast("double")) - F.lit(1.0)).cast("bigint")
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    return _clamp(x, F.lit(0), m).cast("bigint")
+
+
+def tile_y_dyn(lat: Column, zoom: Column) -> Column:
+    """lat → tile y where ``zoom`` is a COLUMN (multi-resolution joins)."""
+    n = F.pow(F.lit(2.0), zoom.cast("double"))
+    m = (F.pow(F.lit(2.0), zoom.cast("double")) - F.lit(1.0)).cast("bigint")
+    lat_rad = (
+        _clamp(lat, F.lit(-WGS84_LAT_MAX), F.lit(WGS84_LAT_MAX)) * F.lit(math.pi)
+    ) / F.lit(180.0)
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(math.pi)
+        )
+        / F.lit(2.0)
+        * n
+    )
+    return _clamp(y, F.lit(0), m).cast("bigint")

@@ -212,3 +212,81 @@ def spatial_join(
     refined = coarse.filter(pip_udf(F.col("lon"), F.col("lat"), F.col("wkb")))
 
     return refined.select(*[F.col(c) for c in point_cols + feature_cols])
+
+
+def multires_spatial_join(
+    points: DataFrame,
+    features: DataFrame,
+    z_coarse: int = 2,
+    z_fine: int = 12,
+    max_cells: int = 4,
+    point_cols: tuple = ("url",),
+    feature_cols: tuple = ("feature_id",),
+) -> DataFrame:
+    """Multi-resolution cell join: each polygon indexes at ITS OWN zoom — the
+    finest z in [z_coarse, z_fine] where its bbox covers ≤ ``max_cells``
+    cells — and points probe their cell at every zoom the feature set
+    actually uses. The reference's FeatureCache is exactly this shape (a
+    per-zoom cell index, cmd/tiler/featurecache.go:73-94); a single-zoom
+    join must either replicate continent-sized polygons across thousands of
+    fine cells or flood city cells with coarse candidates. Here feature
+    replication is ≤ max_cells rows per feature, and point replication is
+    |active zooms| (bounded, typically ≤ 6) native exprs — no Python until
+    the PIP refinement. Output equals ``spatial_join`` exactly.
+    """
+    from ..kernels.geometry import cell_fully_inside
+    from ..kernels.tilemath import coverage as cell_coverage
+    from ..kernels.tilemath import tile_bbox
+    from ..kernels.wkb import geom_bbox
+
+    spark = points.sparkSession
+    poly_map: dict[int, list] = {}
+    dim_rows = []
+    zooms_used: set[int] = set()
+    for r in (
+        features.filter(F.col("geom_type") == 3)
+        .select("feature_id", "wkb")
+        .collect()
+    ):
+        fid = int(r.feature_id)
+        rings = from_wkb(bytes(r.wkb))[1]
+        poly_map[fid] = rings
+        bb = geom_bbox(3, rings)
+        z = z_fine
+        cov = cell_coverage(*bb, z)
+        while z > z_coarse and len(cov) > max_cells:
+            z -= 1
+            cov = cell_coverage(*bb, z)
+        zooms_used.add(z)
+        for cx, cy, _ in cov:
+            full = cell_fully_inside(tile_bbox(cx, cy, z), rings)
+            dim_rows.append((z, cx, cy, fid, *bb, full))
+    dim_df = spark.createDataFrame(
+        dim_rows,
+        "z int, cell_x long, cell_y long, feature_id long, minx double, "
+        "miny double, maxx double, maxy double, full_inside boolean",
+    )
+    sentinel = min(poly_map, default=0) - 1
+    pip = make_pip_udf_closure(poly_map)
+
+    zs = sorted(zooms_used)
+    pts = points.withColumn(
+        "z", F.explode(F.array(*[F.lit(z) for z in zs]))
+    )
+    pts = pts.withColumn("cell_x", TX.tile_x_dyn(F.col("lon"), F.col("z"))).withColumn(
+        "cell_y", TX.tile_y_dyn(F.col("lat"), F.col("z"))
+    )
+    joined = pts.join(F.broadcast(dim_df), ["z", "cell_x", "cell_y"], "inner")
+    coarse = joined.filter(
+        TX.point_in_bbox(
+            F.col("lon"), F.col("lat"),
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+        )
+    )
+    pip_fid = F.when(F.col("full_inside"), F.lit(sentinel)).otherwise(
+        F.col("feature_id")
+    )
+    refined = coarse.filter(
+        F.col("full_inside") | pip(F.col("lon"), F.col("lat"), pip_fid)
+    )
+    return refined.select(*[F.col(c) for c in point_cols + feature_cols])

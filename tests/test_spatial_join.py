@@ -132,3 +132,26 @@ def test_interior_cell_shortcut_identity(spark):
         for r in spatial_join(pts, feats, zoom=9, broadcast=False).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_multires_join_equals_single_zoom(spark):
+    """Multi-resolution cell join returns exactly the single-zoom join's
+    rows, with bounded per-feature replication."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.spatial_join import (
+        geocode_pages,
+        multires_spatial_join,
+        spatial_join,
+    )
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 4000)
+    feats = synth.features(spark, n_polygons=40, n_roads=0, n_pois=0)
+    pts = geocode_pages(pages)
+    a = {(r.url, r.feature_id) for r in spatial_join(pts, feats, zoom=7).collect()}
+    b = {
+        (r.url, r.feature_id)
+        for r in multires_spatial_join(pts, feats, z_coarse=2, z_fine=12).collect()
+    }
+    assert a == b and len(a) > 0
