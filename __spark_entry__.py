@@ -154,6 +154,37 @@ def q_spatial_join_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zigzag_line_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 two-segment polylines derived from the nation table (integer
+    coords — exact doubles in both engines)."""
+    from grandine_spark.kernels.wkb import geom_bbox, to_wkb
+    from grandine_spark.sources.synth import FEATURE_SCHEMA
+
+    rows = []
+    for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect():
+        k = int(r.n_nationkey)
+        x0 = float((k * 53) % 340 - 170)
+        y0 = float((k * 29) % 150 - 75)
+        line = [[x0, y0], [x0 + 3.0, y0 + 2.0], [x0 + 6.0, y0]]
+        wkb = to_wkb(2, line)
+        bb = geom_bbox(2, line)
+        rows.append((k, "roads", 2, wkb, *bb, 0, 99, {"@layer": "roads"}))
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join: doc points within 1.5 degrees of a polyline, in the
+    reference's Segment.DistanceToPt metric (lib/spatial/line.go:350-379)."""
+    from grandine_spark.operators.spatial_join import radius_join
+
+    pts = _points(spark, sf_dir)
+    feats = _zigzag_line_features(spark, sf_dir)
+    return radius_join(
+        pts, feats, radius_deg=1.5, zoom=5,
+        point_cols=("doc_id",), feature_cols=("feature_id",),
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.knn import knn
 
@@ -567,6 +598,10 @@ FROM pts p JOIN diamonds d
 """
 
 
+def _oracle_radius_join() -> str:
+    return '\nWITH pts AS ({P}),\nlines AS (\n  SELECT n_nationkey AS feature_id,\n         CAST((n_nationkey * 53) % 340 - 170 AS DOUBLE) AS x0,\n         CAST((n_nationkey * 29) % 150 - 75 AS DOUBLE) AS y0\n  FROM nation),\nsegs AS (\n  SELECT feature_id, x0 AS sx1, y0 AS sy1, x0 + 3.0 AS sx2, y0 + 2.0 AS sy2 FROM lines\n  UNION ALL\n  SELECT feature_id, x0 + 3.0, y0 + 2.0, x0 + 6.0, y0 FROM lines),\nd AS (\n  SELECT p.doc_id, s.feature_id,\n         sqrt(pow(p.lon - (s.sx1 + LEAST(1.0, GREATEST(0.0,\n              ((p.lon - s.sx1) * (s.sx2 - s.sx1) + (p.lat - s.sy1) * (s.sy2 - s.sy1))\n              / ((s.sx2 - s.sx1) * (s.sx2 - s.sx1) + (s.sy2 - s.sy1) * (s.sy2 - s.sy1))))\n              * (s.sx2 - s.sx1)), 2)\n            + pow(p.lat - (s.sy1 + LEAST(1.0, GREATEST(0.0,\n              ((p.lon - s.sx1) * (s.sx2 - s.sx1) + (p.lat - s.sy1) * (s.sy2 - s.sy1))\n              / ((s.sx2 - s.sx1) * (s.sx2 - s.sx1) + (s.sy2 - s.sy1) * (s.sy2 - s.sy1))))\n              * (s.sy2 - s.sy1)), 2)) AS dist\n  FROM pts p CROSS JOIN segs s)\nSELECT doc_id, feature_id FROM d GROUP BY 1, 2 HAVING MIN(dist) <= 1.5\n'.format(P=_POINTS_SQL)
+
+
 def _oracle_knn() -> str:
     hav = _HAVERSINE_SQL.format(lon1="q.lon", lat1="q.lat", lon2="p.lon", lat2="p.lat")
     return f"""
@@ -850,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_areas": q_rasterize_areas,
         "spatial_join": q_spatial_join,
         "spatial_join_multires": q_spatial_join_multires,
+        "radius_join": q_radius_join,
         "knn": q_knn,
         "raster_to_vector": q_raster_to_vector,
         "html_extract": q_html_extract,
@@ -885,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _oracle_html_extract(),
         "spatial_join": _oracle_spatial_join(),
         "spatial_join_multires": _oracle_spatial_join(),
+        "radius_join": _oracle_radius_join(),
         "knn": _oracle_knn(),
         "raster_to_vector": _oracle_raster_to_vector(),
         "dedup_exact": (

@@ -458,3 +458,27 @@ def cell_fully_inside(cell_bbox, polygon) -> bool:
     if not points_in_polygon_np(corners_x, corners_y, polygon).all():
         return False
     return not _segments_touch_rect(polygon, minx, miny, maxx, maxy)
+
+
+def dist_points_to_line_np(
+    px: np.ndarray, py: np.ndarray, line: np.ndarray
+) -> np.ndarray:
+    """Vectorized min distance from each point to a polyline — the batch
+    form of Segment.DistanceToPt (lib/spatial/line.go:350-379): clamped
+    projection onto each segment, planar degree metric, min over segments."""
+    r = np.asarray(line, dtype=float)
+    s1 = r[:-1]  # (m, 2)
+    s2 = r[1:]
+    d = s2 - s1
+    len_sq = (d * d).sum(axis=1)  # (m,)
+    # pairwise: points (n, 1, 2) vs segments (1, m, 2)
+    p = np.stack([px, py], axis=1)[:, None, :]
+    a = p - s1[None, :, :]
+    dot = (a * d[None, :, :]).sum(axis=2)  # (n, m)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        param = np.where(len_sq[None, :] != 0, dot / len_sq[None, :], 0.0)
+    param = np.clip(param, 0.0, 1.0)
+    proj = s1[None, :, :] + param[:, :, None] * d[None, :, :]
+    diff = p - proj
+    dist = np.sqrt((diff * diff).sum(axis=2))  # (n, m)
+    return dist.min(axis=1)

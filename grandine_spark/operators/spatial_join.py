@@ -290,3 +290,80 @@ def multires_spatial_join(
         F.col("full_inside") | pip(F.col("lon"), F.col("lat"), pip_fid)
     )
     return refined.select(*[F.col(c) for c in point_cols + feature_cols])
+
+
+def radius_join(
+    points: DataFrame,
+    features: DataFrame,
+    radius_deg: float,
+    zoom: int = DEFAULT_JOIN_ZOOM,
+    point_cols: tuple = ("url",),
+    feature_cols: tuple = ("feature_id",),
+) -> DataFrame:
+    """Distance join: points within ``radius_deg`` of a LINE feature, in the
+    reference's own metric — Segment.DistanceToPt's planar degree distance
+    with clamped projection (lib/spatial/line.go:350-379).
+
+    Same shape as the broadcast cell join: line bboxes EXPANDED by the
+    radius explode into cells (driver-side dim, broadcast), candidates pass
+    a native expanded-bbox filter, then a vectorized min-distance-to-
+    polyline pandas UDF refines. No shuffle on the points side.
+    """
+    from ..kernels.geometry import dist_points_to_line_np
+    from ..kernels.tilemath import coverage as cell_coverage
+    from ..kernels.wkb import geom_bbox
+
+    spark = points.sparkSession
+    line_map: dict[int, object] = {}
+    dim_rows = []
+    for r in (
+        features.filter(F.col("geom_type") == 2)
+        .select("feature_id", "wkb")
+        .collect()
+    ):
+        fid = int(r.feature_id)
+        coords = from_wkb(bytes(r.wkb))[1]
+        line_map[fid] = coords
+        minx, miny, maxx, maxy = geom_bbox(2, coords)
+        minx, miny = minx - radius_deg, miny - radius_deg
+        maxx, maxy = maxx + radius_deg, maxy + radius_deg
+        for cx, cy, _ in cell_coverage(minx, miny, maxx, maxy, zoom):
+            dim_rows.append((cx, cy, fid, minx, miny, maxx, maxy))
+    dim_df = spark.createDataFrame(
+        dim_rows,
+        "cell_x long, cell_y long, feature_id long, minx double, "
+        "miny double, maxx double, maxy double",
+    )
+
+    @pandas_udf(BooleanType())
+    def within_udf(px: pd.Series, py: pd.Series, fid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(px)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        pxv = px.to_numpy(dtype=float)
+        pyv = py.to_numpy(dtype=float)
+        fidv = fid.to_numpy()
+        order = np.argsort(fidv, kind="stable")
+        sorted_fid = fidv[order]
+        bounds = np.flatnonzero(np.r_[True, sorted_fid[1:] != sorted_fid[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            coords = line_map.get(int(sorted_fid[s]))
+            if coords is None:
+                continue
+            ix = order[s:e]
+            out[ix] = dist_points_to_line_np(pxv[ix], pyv[ix], coords) <= radius_deg
+        return pd.Series(out)
+
+    pts = index_points(points, zoom)
+    joined = pts.join(F.broadcast(dim_df), ["cell_x", "cell_y"], "inner")
+    coarse = joined.filter(
+        TX.point_in_bbox(
+            F.col("lon"), F.col("lat"),
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+        )
+    )
+    refined = coarse.filter(within_udf(F.col("lon"), F.col("lat"), F.col("feature_id")))
+    return refined.select(*[F.col(c) for c in point_cols + feature_cols])

@@ -155,3 +155,42 @@ def test_multires_join_equals_single_zoom(spark):
         for r in multires_spatial_join(pts, feats, z_coarse=2, z_fine=12).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """Cell-join radius join equals the brute-force distance filter, in the
+    reference's Segment.DistanceToPt metric."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.kernels.geometry import _dist_seg_pt
+    from grandine_spark.kernels.wkb import from_wkb
+    from grandine_spark.operators.spatial_join import geocode_pages, radius_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 2000)
+    feats = synth.features(spark, n_polygons=0, n_roads=25, n_pois=0)
+    pts = geocode_pages(pages)
+    R = 1.5
+
+    got = {
+        (r.url, r.feature_id)
+        for r in radius_join(pts, feats, radius_deg=R, zoom=5).collect()
+    }
+
+    lines = {
+        int(r.feature_id): from_wkb(bytes(r.wkb))[1]
+        for r in feats.filter(F.col("geom_type") == 2).select("feature_id", "wkb").collect()
+    }
+    want = set()
+    for p in pts.select("url", "lon", "lat").collect():
+        for fid, coords in lines.items():
+            d = min(
+                _dist_seg_pt(
+                    coords[i][0], coords[i][1], coords[i + 1][0], coords[i + 1][1],
+                    p.lon, p.lat,
+                )
+                for i in range(len(coords) - 1)
+            )
+            if d <= R:
+                want.add((p.url, fid))
+    assert got == want and len(got) > 0
