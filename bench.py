@@ -260,7 +260,12 @@ def main():
             # sample the same conditions; min per side filters the noise
             # (interference only ever slows a run down).
             tn = t4n = 1e18
-            for _ in range(3):
+            t_scaling0 = time.time()
+            for pair in range(3):
+                # noise insurance: a 3rd pair only if the first two were
+                # quick (keeps worst-case bench wall time bounded)
+                if pair == 2 and time.time() - t_scaling0 > 720:
+                    break
                 t, rows_n = run_flagship_subprocess(SCALING_N)
                 tn = min(tn, t)
                 t, rows_4n = run_flagship_subprocess(SCALING_4N)
