@@ -368,6 +368,15 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization of the events table (30-minute
+    gap); end = last event + gap, per Spark session-window semantics."""
+    from grandine_spark.streaming.pipeline import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap="30 minutes")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -843,6 +852,10 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _oracle_sessions() -> str:
+    return '\nWITH o AS (\n  SELECT event_type, ts, value,\n         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)\n                   > INTERVAL 30 MINUTE OR\n              LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL\n              THEN 1 ELSE 0 END AS new_s\n  FROM events),\ns AS (\n  SELECT event_type, ts, value,\n         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts\n                          ROWS UNBOUNDED PRECEDING) AS sid\n  FROM o)\nSELECT event_type,\n       MIN(ts) AS session_start,\n       MAX(ts) + INTERVAL 30 MINUTE AS session_end,\n       COUNT(*) AS n,\n       ROUND(SUM(value), 2) AS sum_value\nFROM s GROUP BY event_type, sid\n'
+
+
 def _oracle_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
@@ -903,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "way_assembly": q_way_assembly,
         "event_windows": q_event_windows,
+        "sessions": q_sessions,
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
         "stream_cell_counts": q_stream_cell_counts,
@@ -945,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _oracle_media_frames(),
         "way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),
+        "sessions": _oracle_sessions(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),
         # stream_cell_counts, tiles: non-SQL-expressible → rows-only check

@@ -100,3 +100,33 @@ def stream_dedup_first_seen(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time session windows via the NATIVE session_window operator —
+    sessions split where consecutive events per key are more than ``gap``
+    apart; session end = last event + gap. Works identically over a bounded
+    DataFrame and a watermarked stream (groupBy(session_window(...)))."""
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )

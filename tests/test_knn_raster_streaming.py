@@ -157,3 +157,35 @@ def test_stream_dedup_first_seen_state(spark, tmp_path):
     assert rows["a"] in (0, 1)
     n = spark.sql("SELECT count(*) AS n FROM t_sdedup").collect()[0].n
     assert n == 3
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """sessionize over a watermarked stream (availableNow) equals batch."""
+    from grandine_spark.streaming.pipeline import sessionize
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1.0),
+         ("a", "2024-01-01 10:10:00", 2.0),
+         ("a", "2024-01-01 11:30:00", 3.0),
+         ("b", "2024-01-01 09:00:00", 4.0)],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    p = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(p)
+
+    batch = {tuple(r) for r in sessionize(spark.read.parquet(p)).collect()}
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(p).schema
+    ).parquet(p).withWatermark("ts", "1 hour")
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM t_sessions").collect()}
+    assert streamed == batch and len(batch) == 3
