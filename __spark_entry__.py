@@ -488,6 +488,40 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tag_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-mapping DSL (Condition.Matches + Condition.Map,
+    lib/mapping/condition.go:16-34): rules applied to nation-derived
+    features, output exploded to (feature_id, k, v) rows."""
+    from grandine_spark.functions.mapping import MappingRule, apply_mapping
+    from grandine_spark.sources.synth import FEATURE_SCHEMA
+    from grandine_spark.kernels.wkb import geom_bbox, to_wkb
+
+    rows = []
+    for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect():
+        k = int(r.n_nationkey)
+        ring = [[float(k), 0.0], [float(k) + 1.0, 0.0],
+                [float(k) + 1.0, 1.0], [float(k), 1.0]]
+        props = {
+            "highway": "primary" if k % 2 == 1 else "residential",
+            "name": f"n{k}",
+            "lanes": str(k % 5),
+        }
+        rows.append((k, "raw", 3, to_wkb(3, [ring]), *geom_bbox(3, [ring]), 0, 99, props))
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    rules = [
+        MappingRule(
+            "highway", ["primary"],
+            {"@layer": "transportation", "class": "major"},
+            {"name": ("name", None), "lanes": ("lanes", "int")},
+        ),
+        MappingRule("highway", ["residential"], {"@layer": "minor"}),
+    ]
+    mapped = apply_mapping(feats, rules)
+    return mapped.select(
+        "feature_id", F.explode(F.col("props")).alias("k", "v")
+    ).select("feature_id", "k", "v")
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OSM-style way assembly (spatialize semantics as joins): nodes are the
     derived document points, ways chain 5 consecutive node ids; output the
@@ -826,6 +860,10 @@ def _oracle_media_frames() -> str:
     return '\n-- documents.text is pure ASCII, so char offsets == byte offsets and\n-- encode(substring(text,...)) equals byte-slicing the utf-8 blob\nWITH b AS (\n  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,\n         GREATEST(1, length(text) // 4) AS step\n  FROM documents),\nidx AS (SELECT UNNEST(generate_series(0, 3)) AS frame_idx)\nSELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,\n       encode(substring(text, frame_idx * step + 1, 16)) AS frame\nFROM b CROSS JOIN idx\n'
 
 
+def _oracle_tag_mapping() -> str:
+    return "\nWITH n AS (SELECT n_nationkey AS feature_id, n_nationkey % 2 AS odd,\n                  n_nationkey % 5 AS lanes FROM nation),\nprim AS (\n  SELECT feature_id, k, v FROM n, LATERAL (VALUES\n    ('@layer', 'transportation'),\n    ('class', 'major'),\n    ('name', 'n' || feature_id),\n    ('lanes', CAST(lanes AS VARCHAR))) t(k, v)\n  WHERE odd = 1),\nres AS (\n  SELECT feature_id, '@layer' AS k, 'minor' AS v FROM n WHERE odd = 0)\nSELECT * FROM prim UNION ALL SELECT * FROM res\n"
+
+
 def _oracle_way_assembly() -> str:
     hav = _HAVERSINE_SQL.format(lon1="a.lon", lat1="a.lat", lon2="b.lon", lat2="b.lat")
     return f"""
@@ -914,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
+        "tag_mapping": q_tag_mapping,
         "way_assembly": q_way_assembly,
         "event_windows": q_event_windows,
         "sessions": q_sessions,
@@ -957,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _oracle_ann_cosine(),
         "media_meta": _oracle_media_meta(),
         "media_frames": _oracle_media_frames(),
+        "tag_mapping": _oracle_tag_mapping(),
         "way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),

@@ -189,3 +189,37 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM t_sessions").collect()}
     assert streamed == batch and len(batch) == 3
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_knn_random_clouds_match_bruteforce(spark, seed):
+    """Seeded random point clouds incl. polar/antimeridian extremes: the
+    histogram-bound kNN must equal brute force exactly."""
+    import random
+
+    rnd = random.Random(seed)
+    pts_rows = [
+        (i, rnd.uniform(-180, 180), rnd.uniform(-85, 85)) for i in range(300)
+    ] + [(900, 179.9, 84.9), (901, -179.9, -84.9), (902, 0.0, 0.0)]
+    q_rows = [(j, rnd.uniform(-180, 180), rnd.uniform(-85, 85)) for j in range(6)] + [
+        (90, 180.0, 85.0),
+        (91, -180.0, -85.0),
+    ]
+    pts = spark.createDataFrame(pts_rows, "pid long, lon double, lat double")
+    qs = spark.createDataFrame(q_rows, "q_id long, lon double, lat double")
+
+    got = {
+        (r.q_id, r.pid, r.rank)
+        for r in knn(pts, qs, k=4, zoom=4, point_id="pid").collect()
+    }
+
+    from grandine_spark.kernels.geometry import haversine
+
+    want = set()
+    for qid, qlon, qlat in q_rows:
+        scored = sorted(
+            (haversine(lon, lat, qlon, qlat), pid) for pid, lon, lat in pts_rows
+        )
+        for rank, (_, pid) in enumerate(scored[:4], 1):
+            want.add((qid, pid, rank))
+    assert got == want
