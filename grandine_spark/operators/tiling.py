@@ -222,7 +222,12 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
             {"n_features": pd.array(n_out, dtype="int32"), "tile": buf_out}
         )
 
-    return encode_batch
+    # nondeterministic marker: the null-tile filter and the output projection
+    # both reference the UDF result — Catalyst duplicates deterministic UDF
+    # calls into BOTH operators (two ArrowEvalPython nodes = every tile
+    # encoded twice, measured 5x wall). Marking it nondeterministic pins a
+    # single evaluation. (The function is in fact deterministic.)
+    return encode_batch.asNondeterministic()
 
 
 def build_tiles(
