@@ -483,8 +483,10 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.encode(F.col("text"), "utf-8").alias("blob"),
     )
+    # hex, not raw binary: the driver's pandas canonicalization cannot sort
+    # bytearray cells (round-1 crash); hex strings compare exactly.
     return sample_frames(d, id_col="doc_id", bin_col="blob", n_frames=4).select(
-        "doc_id", "frame_idx", "frame"
+        "doc_id", "frame_idx", F.lower(F.hex(F.col("frame"))).alias("frame_hex")
     )
 
 
@@ -578,7 +580,9 @@ def _oracle_cell_downsample() -> str:
     return f"""
 WITH pts AS ({_POINTS_SQL}),
 c10 AS (SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n FROM pts GROUP BY 1, 2)
-SELECT tile_x // 32 AS tile_x, tile_y // 32 AS tile_y, SUM(n) AS n
+-- CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which lands as float64 in the
+-- driver's pandas canon and hash-mismatches Spark's bigint. Same values.
+SELECT tile_x // 32 AS tile_x, tile_y // 32 AS tile_y, CAST(SUM(n) AS BIGINT) AS n
 FROM c10 GROUP BY 1, 2
 """
 
@@ -623,7 +627,10 @@ SELECT tile_x, tile_y, count(*) AS n FROM cells GROUP BY 1, 2
 
 
 def _oracle_html_extract() -> str:
-    return '\nWITH wrapped AS (\n  SELECT doc_id, text,\n         \'<html><head><script>var x = 1 &amp;&amp; 2;</script></head>\'\n         || \'<body><p class="main">\' || text || \'</p></body></html>\' AS h\n  FROM documents),\nstripped AS (\n  SELECT doc_id, text,\n         regexp_replace(\n           regexp_replace(\n             regexp_replace(\n               regexp_replace(h, \'<script[^>]*>.*?</script>\', \' \', \'gs\'),\n               \'<style[^>]*>.*?</style>\', \' \', \'gs\'),\n             \'<[^>]+>\', \' \', \'g\'),\n           \'\\\\s+\', \' \', \'g\') AS t\n  FROM wrapped)\nSELECT doc_id,\n       trim(replace(replace(replace(replace(replace(replace(t,\n         \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', chr(39)),\n         \'&nbsp;\', \' \'), \'&amp;\', \'&\')) AS extracted,\n       sha256(text) AS text_sha\nFROM stripped\n'
+    # operation order matches the Spark chain exactly (strip tags → entity
+    # replacement → \s+ collapse → trim) so entity-adjacent whitespace and
+    # &nbsp; produce identical spacing in both engines.
+    return '\nWITH wrapped AS (\n  SELECT doc_id, text,\n         \'<html><head><script>var x = 1 &amp;&amp; 2;</script></head>\'\n         || \'<body><p class="main">\' || text || \'</p></body></html>\' AS h\n  FROM documents),\nstripped AS (\n  SELECT doc_id, text,\n         regexp_replace(\n           regexp_replace(\n             regexp_replace(h, \'<script[^>]*>.*?</script>\', \' \', \'gs\'),\n             \'<style[^>]*>.*?</style>\', \' \', \'gs\'),\n           \'<[^>]+>\', \' \', \'g\') AS t\n  FROM wrapped),\nunescaped AS (\n  SELECT doc_id, text,\n         replace(replace(replace(replace(replace(replace(t,\n           \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', chr(39)),\n           \'&nbsp;\', \' \'), \'&amp;\', \'&\') AS t\n  FROM stripped)\nSELECT doc_id,\n       trim(regexp_replace(t, \'\\\\s+\', \' \', \'g\')) AS extracted,\n       sha256(text) AS text_sha\nFROM unescaped\n'
 
 
 def _oracle_spatial_join() -> str:
@@ -725,7 +732,9 @@ bits AS (
   FROM toks CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) b
   GROUP BY doc_id, b.b)
 SELECT doc_id,
-       SUM(CASE WHEN contrib > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+       -- CAST: SUM(BIGINT) is HUGEINT in DuckDB → float64 in pandas canon
+       CAST(SUM(CASE WHEN contrib > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -797,7 +806,9 @@ WITH toks AS (
          UNNEST(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) AS i
   FROM documents)
 SELECT doc_id,
-       SUM((i * (LENGTH(tok) * 131 + COALESCE(ascii(substr(tok, 1, 1)), 0))) % {m}) % {m} AS fp
+       -- CAST: SUM(BIGINT) is HUGEINT in DuckDB → float64 in pandas canon
+       CAST(SUM((i * (LENGTH(tok) * 131 + COALESCE(ascii(substr(tok, 1, 1)), 0))) % {m}) % {m}
+            AS BIGINT) AS fp
 FROM toks GROUP BY doc_id
 """
 
@@ -857,7 +868,7 @@ FROM documents
 
 
 def _oracle_media_frames() -> str:
-    return '\n-- documents.text is pure ASCII, so char offsets == byte offsets and\n-- encode(substring(text,...)) equals byte-slicing the utf-8 blob\nWITH b AS (\n  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,\n         GREATEST(1, length(text) // 4) AS step\n  FROM documents),\nidx AS (SELECT UNNEST(generate_series(0, 3)) AS frame_idx)\nSELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,\n       encode(substring(text, frame_idx * step + 1, 16)) AS frame\nFROM b CROSS JOIN idx\n'
+    return '\n-- documents.text is pure ASCII, so char offsets == byte offsets and\n-- encode(substring(text,...)) equals byte-slicing the utf-8 blob;\n-- hex (not raw blob) so the driver pandas canon can sort the column\nWITH b AS (\n  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,\n         GREATEST(1, length(text) // 4) AS step\n  FROM documents),\nidx AS (SELECT UNNEST(generate_series(0, 3)) AS frame_idx)\nSELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,\n       lower(hex(encode(substring(text, frame_idx * step + 1, 16)))) AS frame_hex\nFROM b CROSS JOIN idx\n'
 
 
 def _oracle_tag_mapping() -> str:
@@ -891,7 +902,7 @@ FROM events GROUP BY 1, 2
 
 
 def _oracle_sessions() -> str:
-    return '\nWITH o AS (\n  SELECT event_type, ts, value,\n         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)\n                   > INTERVAL 30 MINUTE OR\n              LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL\n              THEN 1 ELSE 0 END AS new_s\n  FROM events),\ns AS (\n  SELECT event_type, ts, value,\n         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts\n                          ROWS UNBOUNDED PRECEDING) AS sid\n  FROM o)\nSELECT event_type,\n       MIN(ts) AS session_start,\n       MAX(ts) + INTERVAL 30 MINUTE AS session_end,\n       COUNT(*) AS n,\n       ROUND(SUM(value), 2) AS sum_value\nFROM s GROUP BY event_type, sid\n'
+    return '\nWITH o AS (\n  SELECT event_type, ts, value,\n         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)\n                   >= INTERVAL 30 MINUTE OR\n              LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL\n              THEN 1 ELSE 0 END AS new_s\n  FROM events),\ns AS (\n  SELECT event_type, ts, value,\n         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts\n                          ROWS UNBOUNDED PRECEDING) AS sid\n  FROM o)\nSELECT event_type,\n       MIN(ts) AS session_start,\n       MAX(ts) + INTERVAL 30 MINUTE AS session_end,\n       COUNT(*) AS n,\n       ROUND(SUM(value), 2) AS sum_value\nFROM s GROUP BY event_type, sid\n'
 
 
 def _oracle_pricing_summary() -> str:
