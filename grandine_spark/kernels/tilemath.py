@@ -88,6 +88,16 @@ def coverage(
     return [(x, y, zoom) for x in range(x1, x2 + 1) for y in range(y1, y2 + 1)]
 
 
+def coverage_count(
+    minx: float, miny: float, maxx: float, maxy: float, zoom: int
+) -> int:
+    """Number of cells ``coverage`` would return, from the corner tiles only —
+    O(1), never materializes the list (a world bbox at z12 is ~16.7M cells)."""
+    x1, y1, _ = tile_name(minx, maxy, zoom)
+    x2, y2, _ = tile_name(maxx, miny, zoom)
+    return (x2 - x1 + 1) * (y2 - y1 + 1)
+
+
 def resolution(zoomlevel: int, extent: int) -> float:
     """Minimal describable value inside a tile (lib/tile/tile.go:52-54)."""
     return 360.0 / (2.0**zoomlevel * float(extent))

@@ -32,11 +32,18 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def dedup_exact_pairs(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """(dup_id, keeper_id) rows for every non-keeper duplicate."""
+    """(dup_id, keeper_id) rows for every non-keeper duplicate.
+
+    Shape: ONE shuffle on the digest and a window-min — no join at all. The
+    keeper table has ~|distinct docs| rows, so broadcasting it (or building
+    it as a separate join side) is an OOM at 10^12 docs; the window form
+    keeps everything a single exchange."""
+    from pyspark.sql import Window
+
     with_digest = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
-    keepers = with_digest.groupBy("digest").agg(F.min(id_col).alias("keeper_id"))
+    w = Window.partitionBy("digest")
     return (
-        with_digest.join(F.broadcast(keepers), "digest")
+        with_digest.withColumn("keeper_id", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("keeper_id"))
         .select(F.col(id_col).alias("dup_id"), "keeper_id")
     )
@@ -115,16 +122,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over shingle sets: pairs with
     J(a,b) >= threshold. Shuffle is on exploded distinct shingles; the
-    |A∩B| count comes from a shingle-equi-join (no cross product)."""
+    |A∩B| count comes from a shingle-equi-join (no cross product).
+
+    ``max_shingle_freq``: skew guard for web-scale corpora — a shingle shared
+    by f documents contributes O(f²) join rows, so one piece of boilerplate
+    in 10^6 docs is a 10^12-row blowup. Setting a cap drops shingles whose
+    document frequency exceeds it BEFORE the self-join (the standard df-cap:
+    sizes and intersections are then both computed on the capped shingle
+    universe, so J stays a true Jaccard of that universe). None = exact."""
     sh = (
         df.select(
             F.col(id_col), F.explode(TXT.word_shingles(F.col(text_col), shingle_k)).alias("sh")
         )
         .distinct()
     )
+    if max_shingle_freq is not None:
+        from .skew import cap_buckets
+
+        sh = cap_buckets(sh, "sh", max_shingle_freq)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")

@@ -183,6 +183,12 @@ def _candidate_cells(
     dlam_min = np.where(inside_lon, 0.0, np.minimum(d_w, d_e))
     # farther edge, capped at 180; when inside, the max is to the farther edge
     dlam_max = np.minimum(np.maximum(d_w, d_e) + 0.0, 180.0)
+    # antipodal correction: when the query's antipodal meridian lies inside a
+    # cell's lon range, the true max Δλ is 180° but both edge distances are
+    # smaller — without this, ub under-estimates and a near-antipodal point
+    # cluster can make D too small, excluding cells that hold true neighbors
+    anti = (lon + 360.0) % 360.0 - 180.0
+    dlam_max = np.where(_lon_inside(anti, west, east), 180.0, dlam_max)
 
     dphi_min = np.where(
         (lat >= lat_s) & (lat <= lat_n),

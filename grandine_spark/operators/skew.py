@@ -59,10 +59,19 @@ def salted_agg(
 
 def cap_buckets(buckets: DataFrame, bucket_col: str, max_width: int) -> DataFrame:
     """Drop buckets wider than ``max_width`` rows before a self-join —
-    bounds the join to O(buckets · max_width²)."""
-    widths = buckets.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_w"))
-    ok = widths.filter(F.col("_w") <= max_width).select(bucket_col)
-    return buckets.join(F.broadcast(ok), bucket_col, "inner")
+    bounds the join to O(buckets · max_width²).
+
+    Broadcast the OVER-wide set and anti-join: the hot set is small by
+    construction (each member exceeds max_width rows, so there are at most
+    |rows|/max_width of them), whereas the keep set is nearly every bucket
+    and would OOM the driver at corpus scale."""
+    hot = (
+        buckets.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") > max_width)
+        .select(bucket_col)
+    )
+    return buckets.join(F.broadcast(hot), bucket_col, "left_anti")
 
 
 def salted_cell_join(

@@ -36,6 +36,13 @@ from ..kernels.wkb import from_wkb
 
 DEFAULT_JOIN_ZOOM = 7
 
+# Arrow batch size a PIP-heavy job should set (spark.sql.execution.arrow.
+# maxRecordsPerBatch, via get_spark extra_conf): candidate rows are ~24 bytes
+# (lon, lat, feature_id), so 512k-row batches are ~12 MB and cut per-batch
+# handoff overhead ~1.5x at 16 cores. Deliberately NOT the session default —
+# jobs carrying KB-scale text/binary rows would make such batches 100s of MB.
+PIP_ARROW_BATCH = 524288
+
 
 @pandas_udf(BooleanType())
 def pip_udf(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
@@ -94,6 +101,35 @@ def make_pip_udf_closure(poly_map: dict[int, list]):
     return pip_by_id
 
 
+def make_within_wkb_udf(radius_deg: float):
+    """Distance-to-polyline predicate with geometry per-row as WKB — the
+    shuffle-path twin of radius_join's closure UDF: one kernel batch per
+    distinct polyline in the Arrow batch (candidates arrive cell-clustered)."""
+    from ..kernels.geometry import dist_points_to_line_np
+
+    @pandas_udf(BooleanType())
+    def within_wkb(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(px), dtype=bool)
+        if len(px) == 0:
+            return pd.Series(out)
+        pxv = px.to_numpy(dtype=float)
+        pyv = py.to_numpy(dtype=float)
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(wkb):
+            groups.setdefault(bytes(b), []).append(i)
+        for blob, idx in groups.items():
+            gt, coords = from_wkb(blob)
+            if gt != 2:
+                continue
+            ix = np.asarray(idx)
+            out[ix] = dist_points_to_line_np(pxv[ix], pyv[ix], coords) <= radius_deg
+        return pd.Series(out)
+
+    return within_wkb
+
+
 def geocode_pages(pages: DataFrame) -> DataFrame:
     """pages → (url, text, lang, lon, lat); rows without a geotag are dropped
     by the geocoder (FIXTURES.md §1). Pure JVM expressions."""
@@ -128,6 +164,7 @@ def spatial_join(
     point_cols: tuple = ("url",),
     feature_cols: tuple = ("feature_id",),
     salt_threshold: int | None = None,
+    max_dim_features: int = 1_000_000,
 ) -> DataFrame:
     """points(lon,lat,…) ⨝ polygon features → refined containment rows.
 
@@ -136,8 +173,19 @@ def spatial_join(
     more points than this get explicit hot-cell salting
     (skew.salted_cell_join) so a dense urban cell spreads over many
     reducers instead of one straggler; output is identical.
+
+    ``max_dim_features``: the broadcast path collect()s the polygon side on
+    the driver; if the feature count exceeds this guard the join falls back
+    to the shuffle path automatically (same output) instead of OOMing the
+    driver — "small by definition" is now enforced, not assumed.
     """
     pts = index_points(points, zoom)
+
+    if broadcast and (
+        features.filter(F.col("geom_type") == 3).limit(max_dim_features + 1).count()
+        > max_dim_features
+    ):
+        broadcast = False
 
     if broadcast:
         # broadcast path: geometry rides in the UDF closure, not in the rows —
@@ -222,6 +270,7 @@ def multires_spatial_join(
     max_cells: int = 4,
     point_cols: tuple = ("url",),
     feature_cols: tuple = ("feature_id",),
+    max_dim_features: int = 1_000_000,
 ) -> DataFrame:
     """Multi-resolution cell join: each polygon indexes at ITS OWN zoom — the
     finest z in [z_coarse, z_fine] where its bbox covers ≤ ``max_cells``
@@ -236,8 +285,19 @@ def multires_spatial_join(
     """
     from ..kernels.geometry import cell_fully_inside
     from ..kernels.tilemath import coverage as cell_coverage
-    from ..kernels.tilemath import tile_bbox
+    from ..kernels.tilemath import coverage_count, tile_bbox
     from ..kernels.wkb import geom_bbox
+
+    # driver-collect guard, same rationale as spatial_join's: too many
+    # features → fall back to the (skew-salted, AQE-covered) shuffle join
+    if (
+        features.filter(F.col("geom_type") == 3).limit(max_dim_features + 1).count()
+        > max_dim_features
+    ):
+        return spatial_join(
+            points, features, zoom=DEFAULT_JOIN_ZOOM, broadcast=False,
+            point_cols=point_cols, feature_cols=feature_cols,
+        )
 
     spark = points.sparkSession
     poly_map: dict[int, list] = {}
@@ -252,11 +312,13 @@ def multires_spatial_join(
         rings = from_wkb(bytes(r.wkb))[1]
         poly_map[fid] = rings
         bb = geom_bbox(3, rings)
+        # walk the zoom down ARITHMETICALLY (corner-tile count) and only
+        # materialize coverage at the chosen zoom — a world-bbox polygon at
+        # z_fine=12 would otherwise enumerate ~16.7M tuples per feature
         z = z_fine
-        cov = cell_coverage(*bb, z)
-        while z > z_coarse and len(cov) > max_cells:
+        while z > z_coarse and coverage_count(*bb, z) > max_cells:
             z -= 1
-            cov = cell_coverage(*bb, z)
+        cov = cell_coverage(*bb, z)
         zooms_used.add(z)
         for cx, cy, _ in cov:
             full = cell_fully_inside(tile_bbox(cx, cy, z), rings)
@@ -299,6 +361,7 @@ def radius_join(
     zoom: int = DEFAULT_JOIN_ZOOM,
     point_cols: tuple = ("url",),
     feature_cols: tuple = ("feature_id",),
+    max_dim_features: int = 1_000_000,
 ) -> DataFrame:
     """Distance join: points within ``radius_deg`` of a LINE feature, in the
     reference's own metric — Segment.DistanceToPt's planar degree distance
@@ -308,10 +371,41 @@ def radius_join(
     radius explode into cells (driver-side dim, broadcast), candidates pass
     a native expanded-bbox filter, then a vectorized min-distance-to-
     polyline pandas UDF refines. No shuffle on the points side.
+
+    ``max_dim_features``: above this count the driver-side dim build is
+    unsafe; fall back to a fully distributed shuffle cell join where the
+    geometry rides per-row as WKB (same output).
     """
     from ..kernels.geometry import dist_points_to_line_np
     from ..kernels.tilemath import coverage as cell_coverage
     from ..kernels.wkb import geom_bbox
+
+    lines = features.filter(F.col("geom_type") == 2)
+    if lines.limit(max_dim_features + 1).count() > max_dim_features:
+        expanded = (
+            lines.withColumn("minx", F.col("minx") - radius_deg)
+            .withColumn("miny", F.col("miny") - radius_deg)
+            .withColumn("maxx", F.col("maxx") + radius_deg)
+            .withColumn("maxy", F.col("maxy") + radius_deg)
+        )
+        cells = (
+            TX.explode_coverage(expanded, zoom)
+            .withColumnRenamed("tile_x", "cell_x")
+            .withColumnRenamed("tile_y", "cell_y")
+        )
+        pts = index_points(points, zoom)
+        joined = pts.join(cells, ["cell_x", "cell_y"], "inner")
+        coarse = joined.filter(
+            TX.point_in_bbox(
+                F.col("lon"), F.col("lat"),
+                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+            )
+        )
+        within_wkb = make_within_wkb_udf(radius_deg)
+        refined = coarse.filter(
+            within_wkb(F.col("lon"), F.col("lat"), F.col("wkb"))
+        )
+        return refined.select(*[F.col(c) for c in point_cols + feature_cols])
 
     spark = points.sparkSession
     line_map: dict[int, object] = {}

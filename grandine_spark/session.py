@@ -37,11 +37,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # large Arrow batches: every pandas-UDF task runs 3 schedulable units
-        # (task thread, Arrow writer, python worker); fewer batch handoffs
-        # cut the context-switch tax — measured ~1.5x on the PIP stage at 16
-        # pinned cores vs the 64k default. ~12 MB/batch at 24-byte rows.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
+        # moderate Arrow batch default: the session serves BOTH ~24-byte PIP
+        # rows and KB-scale text/binary rows (media features, tile feature
+        # arrays) — a 512k-row batch of the latter is hundreds of MB per
+        # Python worker. Narrow-row hot paths (the PIP stage) override this
+        # per-job via PIP_ARROW_BATCH / extra_conf; see operators/spatial_join.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # batch-throughput GC: this engine's hot loops are allocation-heavy

@@ -223,3 +223,28 @@ def test_knn_random_clouds_match_bruteforce(spark, seed):
         for rank, (_, pid) in enumerate(scored[:4], 1):
             want.add((qid, pid, rank))
     assert got == want
+
+
+def test_knn_antipodal_cluster_matches_bruteforce(spark):
+    """Regression: when every neighbor sits near the query's antipode, the
+    per-cell upper bound must treat cells containing the antipodal meridian
+    as Δλ=180° — otherwise D under-estimates and true neighbors are pruned."""
+    from grandine_spark.kernels.geometry import haversine as hav_scalar
+
+    pts_rows = [
+        (f"p{i}", 10.0 + (i % 7) * 0.05, -2.0 + (i // 7) * 0.35)
+        for i in range(60)
+    ]
+    pts = spark.createDataFrame(pts_rows, "url string, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(0, -170.0, 0.0)], "q_id int, lon double, lat double"
+    )
+    got = {
+        (r.q_id, r.rank): r.url
+        for r in knn(pts, queries, k=5, zoom=5, point_id="url").collect()
+    }
+    scored = sorted(
+        (hav_scalar(-170.0, 0.0, lon, lat), u) for u, lon, lat in pts_rows
+    )
+    want = {(0, i + 1): u for i, (_, u) in enumerate(scored[:5])}
+    assert got == want

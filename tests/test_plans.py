@@ -80,3 +80,33 @@ def test_tiles_partial_collect_list_mapside(spark):
     plan = plan_of(build_tiles(feats, [3]))
     assert "partial_collect_list" in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_dedup_pairs_single_exchange_no_broadcast(spark, tmp_path):
+    """dedup_exact_pairs must be window-over-digest: exactly one shuffle,
+    no join, no broadcast of the (corpus-sized) keeper table."""
+    from grandine_spark.operators.dedup import dedup_exact_pairs
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"t{i % 10}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(p)
+    plan = plan_of(dedup_exact_pairs(spark.read.parquet(p)))
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    assert len(set(re.findall(r"\bExchange \(\d+\)", plan))) == 1
+
+
+def test_spatial_join_guard_takes_shuffle_plan(spark, pages_path):
+    """With the dim guard tripped, the plan must be the shuffle path: no
+    driver-built dim (no full_inside column), geometry rides as wkb."""
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.sources import synth
+
+    pages = spark.read.parquet(pages_path)
+    feats = synth.features(spark, n_polygons=20, n_roads=0, n_pois=0)
+    plan = plan_of(
+        spatial_join(geocode_pages(pages), feats, zoom=6, max_dim_features=3)
+    )
+    assert "full_inside" not in plan
+    assert "wkb" in plan

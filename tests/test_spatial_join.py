@@ -194,3 +194,57 @@ def test_radius_join_matches_bruteforce(spark):
             if d <= R:
                 want.add((p.url, fid))
     assert got == want and len(got) > 0
+
+
+def test_spatial_join_dim_guard_falls_back_same_result(spark, pages_df, features_df):
+    """max_dim_features guard: when the polygon side is 'too big' for a
+    driver collect, the join must silently take the shuffle path and return
+    the identical result."""
+    from grandine_spark.operators.spatial_join import spatial_join
+
+    pts = geocode_pages(pages_df)
+    a = {(r.url, r.feature_id) for r in spatial_join(pts, features_df, zoom=6).collect()}
+    b = {
+        (r.url, r.feature_id)
+        for r in spatial_join(
+            pts, features_df, zoom=6, max_dim_features=3
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_multires_dim_guard_falls_back_same_result(spark, pages_df, features_df):
+    from grandine_spark.operators.spatial_join import (
+        multires_spatial_join,
+        spatial_join,
+    )
+
+    pts = geocode_pages(pages_df)
+    a = {(r.url, r.feature_id) for r in spatial_join(pts, features_df, zoom=6).collect()}
+    b = {
+        (r.url, r.feature_id)
+        for r in multires_spatial_join(
+            pts, features_df, z_coarse=2, z_fine=12, max_dim_features=3
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_radius_join_dim_guard_falls_back_same_result(spark):
+    from grandine_spark.operators.spatial_join import geocode_pages, radius_join
+    from grandine_spark.sources import synth
+
+    pages = synth.pages(spark, 1000)
+    feats = synth.features(spark, n_polygons=0, n_roads=15, n_pois=0)
+    pts = geocode_pages(pages)
+    a = {
+        (r.url, r.feature_id)
+        for r in radius_join(pts, feats, radius_deg=1.5, zoom=5).collect()
+    }
+    b = {
+        (r.url, r.feature_id)
+        for r in radius_join(
+            pts, feats, radius_deg=1.5, zoom=5, max_dim_features=3
+        ).collect()
+    }
+    assert a == b and len(a) > 0

@@ -221,3 +221,46 @@ def test_sample_frames_plumbing(spark):
     again = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in out.collect()}
     first = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in rows}
     assert first == again
+
+
+def test_dedup_exact_pairs_window(spark, docs):
+    """Pairs op: every non-keeper maps to its group's min id; plan must be a
+    single exchange (window), never a broadcast of the keeper table."""
+    from grandine_spark.operators.dedup import dedup_exact_pairs
+
+    got = {(r.dup_id, r.keeper_id) for r in dedup_exact_pairs(docs).collect()}
+    groups = {}
+    for r in docs.select("doc_id", "text").collect():
+        groups.setdefault(r.text, []).append(r.doc_id)
+    want = {
+        (d, min(ids)) for ids in groups.values() for d in ids if d != min(ids)
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_shingle_cap_drops_boilerplate(spark):
+    """A shingle shared by every doc would drive a quadratic self-join; the
+    df-cap must remove exactly the boilerplate-driven pairs."""
+    from grandine_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique words {i} xx{i} yy{i} " + boiler) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the 4 boilerplate tokens yield shared shingles -> pairs exist
+    uncapped = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.1).count()
+    assert uncapped > 0
+    # capped at freq 5: shingles in all 20 docs are dropped; the remaining
+    # shingles are doc-unique, so no pair survives
+    capped = ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.1, max_shingle_freq=5
+    ).count()
+    assert capped == 0
+
+
+def test_cap_buckets_anti_join_exact(spark):
+    from grandine_spark.operators.skew import cap_buckets
+
+    rows = [(i, "hot") for i in range(10)] + [(i, f"cold{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, bucket string")
+    kept = cap_buckets(df, "bucket", 5).collect()
+    assert {r.bucket for r in kept} == {f"cold{i}" for i in range(4)}
