@@ -4,13 +4,15 @@
 - segment clip: exact port of the split casework, lib/spatial/line.go:270-310
 - linestring clip: fast paths + per-segment clip + re-chaining,
   lib/spatial/line.go:101-136
-- polygon clip: fast-path short circuits (lib/spatial/polygon.go:26-40) +
-  Sutherland–Hodgman intersection against the rectangle as the general path.
-  DIVERGENCE NOTE: the reference's default build calls GEOS
-  (lib/spatial/clip_geos.go:11-41), which can split a concave polygon into
-  multiple result polygons; Sutherland–Hodgman returns a single (possibly
-  degenerate-bridged) ring. GEOS (C library) is not available in this
-  environment; for tile rendering the rasterized output is equivalent.
+- polygon clip: fast-path short circuits (lib/spatial/polygon.go:26-40,
+  quirks included) + GEOS-parity rectangle intersection as the general path
+  (lib/spatial/clip_geos.go:11-41 semantics): a concave polygon straddling
+  the bbox splits into MULTIPLE result polygons, holes are preserved, holes
+  cut open at the bbox edge merge into their shell's boundary, and
+  degenerate (zero-area) products are dropped — the same cleanups GEOS's
+  Buffer(0) repair performs. Implemented as four sequential half-plane cuts
+  over the even-odd ring soup with parity stitching along each cut line
+  (Weiler–Atherton specialised to an axis-aligned rectangle).
 """
 
 from __future__ import annotations
@@ -123,50 +125,209 @@ def clip_line(line: np.ndarray, bbox) -> list[np.ndarray]:
     return [np.asarray(ln, np.float64) for ln in lines]
 
 
-def _sutherland_hodgman(ring: np.ndarray, bbox) -> np.ndarray | None:
-    """Clip one ring against the rectangle; returns open ring or None."""
-    minx, miny, maxx, maxy = bbox
-    # each clip edge: (inside_test, intersect)
-    edges = [
-        (lambda p: p[0] >= minx, "x", minx),
-        (lambda p: p[0] <= maxx, "x", maxx),
-        (lambda p: p[1] >= miny, "y", miny),
-        (lambda p: p[1] <= maxy, "y", maxy),
-    ]
-    pts = [(float(x), float(y)) for x, y in np.asarray(ring, np.float64)]
-    for inside, axis, v in edges:
-        if not pts:
-            return None
-        out = []
-        for i, cur in enumerate(pts):
-            prev = pts[i - 1]
-            cin, pin = inside(cur), inside(prev)
-            if cin != pin:
-                # intersection of prev→cur with axis=v
-                if axis == "x":
-                    t = (v - prev[0]) / (cur[0] - prev[0])
-                    out.append((v, prev[1] + t * (cur[1] - prev[1])))
-                else:
-                    t = (v - prev[1]) / (cur[1] - prev[1])
-                    out.append((prev[0] + t * (cur[0] - prev[0]), v))
-            if cin:
-                out.append(cur)
-        pts = out
-    # dedup consecutive duplicates
-    dedup = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
-    if len(dedup) > 1 and dedup[0] == dedup[-1]:
-        dedup = dedup[:-1]
-    if len(dedup) < 3:
-        return None
-    return np.asarray(dedup, np.float64)
+def _ring_area2_pts(pts) -> float:
+    """Twice the signed shoelace area; >0 = clockwise (reference sign
+    convention, lib/spatial/line.go:160-169)."""
+    s = 0.0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        s += (x2 - x1) * (y2 + y1)
+    return s
+
+
+def _pt_in_ring(px: float, py: float, ring) -> bool:
+    """Even-odd ray cast (half-open edges) — nesting tests only; the exact
+    reference-semantics PIP lives in kernels.geometry."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xi = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+            if px < xi:
+                inside = not inside
+    return inside
+
+
+def _pt_on_ring(px: float, py: float, ring, eps: float = 1e-12) -> bool:
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (
+            min(x1, x2) - eps <= px <= max(x1, x2) + eps
+            and min(y1, y2) - eps <= py <= max(y1, y2) + eps
+            and abs((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) <= eps
+        ):
+            return True
+    return False
+
+
+def _ring_depth(i: int, soup) -> int:
+    """Even-odd nesting depth of soup[i] among the other rings: pick a
+    vertex of i not on j's boundary for each containment test."""
+    depth = 0
+    for j, other in enumerate(soup):
+        if j == i:
+            continue
+        for px, py in soup[i]:
+            if not _pt_on_ring(px, py, other):
+                if _pt_in_ring(px, py, other):
+                    depth += 1
+                break
+    return depth
+
+
+def _cut_soup(soup, axis: int, v: float, sign: float):
+    """Cut an even-odd ring soup by the half-plane sign·(p[axis] − v) ≥ 0.
+
+    Invariant in AND out: interior lies locally LEFT of every directed edge
+    (counter-clockwise shells, clockwise holes in y-up coords). Boundary
+    chains surviving on the keep side are re-connected along the cut line by
+    exit→next-entry parity pairing — the step that lets one concave ring
+    split into several, and an edge-cut hole merge into its shell."""
+    kept: list[list] = []
+    chains: list[list] = []  # each: [entry_pt, ..., exit_pt]
+    events: list[tuple] = []  # (u, kind, chain_id) kind 0=exit, 1=entry
+
+    def u_of(p) -> float:
+        # direction along the line such that the keep side is on the left
+        return -sign * p[1] if axis == 0 else sign * p[0]
+
+    def interp(p, q, sp, sq):
+        t = sp / (sp - sq)
+        if axis == 0:
+            return (v, p[1] + t * (q[1] - p[1]))
+        return (p[0] + t * (q[0] - p[0]), v)
+
+    for ring in soup:
+        s = [sign * (p[axis] - v) for p in ring]
+        if all(x >= 0 for x in s):
+            if any(x > 0 for x in s):
+                kept.append(ring)
+            continue  # ring collapsed onto the line: degenerate, drop
+        if all(x <= 0 for x in s):
+            continue  # entirely on the discard side
+        n = len(ring)
+        start = next(i for i in range(n) if s[i] < 0)
+        cur: list | None = None
+        any_strict = False
+        for k in range(1, n + 1):
+            ip, ic = (start + k - 1) % n, (start + k) % n
+            sp, sc = s[ip], s[ic]
+            p, q = ring[ip], ring[ic]
+            if cur is None:
+                if sc >= 0:  # entering the keep side
+                    cp = q if sc == 0 else interp(p, q, sp, sc)
+                    cur = [cp]
+                    any_strict = sc > 0
+                    if sc > 0 and q != cp:
+                        cur.append(q)
+            else:
+                if sc >= 0:
+                    if q != cur[-1]:
+                        cur.append(q)
+                    any_strict = any_strict or sc > 0
+                else:  # exiting
+                    cp = p if sp == 0 else interp(p, q, sp, sc)
+                    if cp != cur[-1]:
+                        cur.append(cp)
+                    if any_strict:
+                        cid = len(chains)
+                        chains.append(cur)
+                        events.append((u_of(cur[-1]), 0, cid))
+                        events.append((u_of(cur[0]), 1, cid))
+                    cur = None
+                    any_strict = False
+
+    if not chains:
+        return kept
+
+    # exit at u connects to the next entry at u' ≥ u (ties: exit first so a
+    # grazing-vertex chain cancels against itself)
+    events.sort(key=lambda e: (e[0], e[1]))
+    next_chain: dict[int, int] = {}
+    pending_exits: list[int] = []
+    for _, kind, cid in events:
+        if kind == 0:
+            pending_exits.append(cid)
+        elif pending_exits:
+            next_chain[pending_exits.pop(0)] = cid
+    # cyclic wrap: remaining exits pair with the earliest unclaimed entries
+    if pending_exits:
+        claimed = set(next_chain.values())
+        for _, kind, cid in events:
+            if kind == 1 and cid not in claimed and pending_exits:
+                next_chain[pending_exits.pop(0)] = cid
+                claimed.add(cid)
+
+    seen: set[int] = set()
+    for cid in range(len(chains)):
+        if cid in seen:
+            continue
+        ring_pts: list = []
+        c = cid
+        while c not in seen:
+            seen.add(c)
+            pts = chains[c]
+            if ring_pts and ring_pts[-1] == pts[0]:
+                ring_pts.extend(pts[1:])
+            else:
+                ring_pts.extend(pts)
+            c = next_chain.get(c)
+            if c is None:
+                break  # unmatched (degenerate input); emit what we have
+        if ring_pts and ring_pts[0] == ring_pts[-1]:
+            ring_pts.pop()
+        if len(ring_pts) >= 3:
+            kept.append(ring_pts)
+    return kept
+
+
+_AREA_EPS = 1e-12
+
+
+def _assemble_polygons(soup) -> list[list[np.ndarray]]:
+    """Ring soup → polygons in the reference convention: shells clockwise,
+    holes counter-clockwise (Polygon.FixWinding, lib/spatial/polygon.go:48-72),
+    holes attached to their immediate shell; zero-area products dropped."""
+    rings = [r for r in soup if abs(_ring_area2_pts(r)) > _AREA_EPS]
+    if not rings:
+        return []
+    depths = [_ring_depth(i, rings) for i in range(len(rings))]
+    polys: list[list[np.ndarray]] = []
+    owner: dict[int, int] = {}
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 0:
+            pts = r if _ring_area2_pts(r) > 0 else r[::-1]  # shell: CW
+            owner[i] = len(polys)
+            polys.append([np.asarray(pts, np.float64)])
+    for i, r in enumerate(rings):
+        if depths[i] % 2 == 1:
+            # immediate parent: the even-depth ring containing i with the
+            # greatest depth below i's
+            best, best_d = None, -1
+            for j in range(len(rings)):
+                if depths[j] % 2 == 0 and depths[j] < depths[i] and depths[j] > best_d:
+                    for px, py in r:
+                        if not _pt_on_ring(px, py, rings[j]):
+                            if _pt_in_ring(px, py, rings[j]):
+                                best, best_d = j, depths[j]
+                            break
+            if best is not None:
+                pts = r if _ring_area2_pts(r) < 0 else r[::-1]  # hole: CCW
+                polys[owner[best]].append(np.asarray(pts, np.float64))
+    return polys
 
 
 def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
     """Polygon.ClipToBBox with the reference's short circuits
-    (lib/spatial/polygon.go:26-40), then Sutherland–Hodgman per ring.
-
-    Returns a list of polygons (each a ring list) to keep the 0..N contract
-    of the reference's GEOS path (lib/spatial/clip_geos.go:11-41)."""
+    (lib/spatial/polygon.go:26-40), then the GEOS-parity rectangle
+    intersection (lib/spatial/clip_geos.go:11-41 semantics): 0..N result
+    polygons, concave straddlers split, holes preserved/merged."""
     minx, miny, maxx, maxy = bbox
     if len(polygon) == 1:
         borders = _bbox_borders(bbox)
@@ -187,14 +348,35 @@ def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
             ):
                 return [[np.asarray(r, np.float64) for r in polygon]]
 
-    rings = []
+    # general path: normalise the ring soup to the cut invariant (interior
+    # locally left: counter-clockwise shells, clockwise holes), then four
+    # half-plane cuts, then nest/orient the surviving rings
+    soup = []
     for ring in polygon:
-        clipped = _sutherland_hodgman(ring, bbox)
-        if clipped is not None:
-            rings.append(clipped)
-    if not rings:
+        pts = [(float(x), float(y)) for x, y in np.asarray(ring, np.float64)]
+        pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts.pop()
+        if len(pts) >= 3:
+            soup.append(pts)
+    if not soup:
         return []
-    return [rings]
+    norm = []
+    for i, pts in enumerate(soup):
+        want_ccw = _ring_depth(i, soup) % 2 == 0
+        is_ccw = _ring_area2_pts(pts) < 0  # area2 > 0 = clockwise
+        norm.append(pts if is_ccw == want_ccw else pts[::-1])
+    soup = norm
+    for axis, v, sign in (
+        (0, minx, 1.0),
+        (0, maxx, -1.0),
+        (1, miny, 1.0),
+        (1, maxy, -1.0),
+    ):
+        soup = _cut_soup(soup, axis, v, sign)
+        if not soup:
+            return []
+    return _assemble_polygons(soup)
 
 
 def clip_geom(geom_type: int, coords, bbox):

@@ -1,0 +1,233 @@
+"""OSM PBF reader — pure-python wire decode, Spark-distributed per blob.
+
+Closes the reference's second-most-used entry point: `spatialize` reads
+`.osm.pbf` via gosmparse (cmd/spatialize/spatialize.go:188-247) with a
+3-pass, memory-bounded scan (pass 1 registers ways/relations, pass 2
+collects the node coordinates they reference, pass 3 resolves). The Spark
+re-expression decodes the file ONCE into three DataFrames (nodes, ways,
+relations) and replaces the in-memory ElemCache with shuffle joins
+(operators/assemble.py) — the 100 TB shape: each PBF blob is independently
+decodable (osmformat.proto contract), so blobs are the parallel unit and no
+single task ever holds the node cache.
+
+Format (vendored protos, cmd/spatialize/vendor/.../OSMPBF/):
+- fileformat.proto: [4-byte BE len][BlobHeader{type=1,datasize=3}]
+  [Blob{raw=1,raw_size=2,zlib_data=3}] repeated;
+- osmformat.proto: PrimitiveBlock{stringtable=1, primitivegroup=2,
+  granularity=17, lat_offset=19, lon_offset=20}; PrimitiveGroup{nodes=1,
+  dense=2, ways=3, relations=4}; DenseNodes delta-coded parallel arrays
+  with 0-delimited keys_vals; Way.refs / Relation.memids delta-coded.
+- coordinate formula: deg = (offset + granularity * unit) * 1e-9.
+
+No protobuf / osmium dependency: the decoder is ~150 lines over the same
+minimal wire helpers the MVT encoder uses (kernels/protowire.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from ..kernels.protowire import iter_fields, read_varint
+
+_MEMBER_TYPES = {0: "node", 1: "way", 2: "relation"}
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out, i, n = [], 0, len(buf)
+    while i < n:
+        v, i = read_varint(buf, i)
+        out.append(v)
+    return out
+
+
+def _packed_sints(buf: bytes) -> list[int]:
+    return [_unzigzag(v) for v in _packed_varints(buf)]
+
+
+def _delta_decode(vals: list[int]) -> list[int]:
+    out, acc = [], 0
+    for v in vals:
+        acc += v
+        out.append(acc)
+    return out
+
+
+# --- file framing -------------------------------------------------------------
+
+
+def iter_blob_spans(path: str):
+    """Light driver-side scan: yields (blob_type, offset, size) for every
+    blob WITHOUT decompressing payloads — only headers are read, so indexing
+    a multi-GB planet file is IO-bound on a few KB per blob."""
+    with open(path, "rb") as f:
+        while True:
+            lenbuf = f.read(4)
+            if len(lenbuf) < 4:
+                return
+            (hlen,) = struct.unpack(">I", lenbuf)
+            header = f.read(hlen)
+            btype, datasize = None, 0
+            for field, _, v in iter_fields(header):
+                if field == 1:
+                    btype = v.decode()
+                elif field == 3:
+                    datasize = v
+            yield btype, f.tell(), datasize
+            f.seek(datasize, 1)
+
+
+def _read_blob_payload(path: str, offset: int, size: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(size)
+    raw = None
+    for field, _, v in iter_fields(blob):
+        if field == 1:
+            raw = v
+        elif field == 3:
+            raw = zlib.decompress(v)
+    if raw is None:
+        raise ValueError("blob carries no raw/zlib payload")
+    return raw
+
+
+# --- PrimitiveBlock decode ----------------------------------------------------
+
+
+def decode_primitive_block(data: bytes):
+    """→ (nodes, ways, relations) row lists:
+    nodes:  (node_id, lon, lat, tags)
+    ways:   (way_id, node_ids, tags)
+    rels:   (rel_id, member_ids, member_types, roles, tags)"""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, _, v in iter_fields(data):
+        if field == 1:
+            strings = [s.decode("utf-8") for f2, _, s in iter_fields(v) if f2 == 1]
+        elif field == 2:
+            groups.append(v)
+        elif field == 17:
+            granularity = v
+        elif field == 19:
+            lat_off = v
+        elif field == 20:
+            lon_off = v
+
+    def deg(off: int, unit: int) -> float:
+        return 1e-9 * (off + granularity * unit)
+
+    def tags(keys: list[int], vals: list[int]) -> dict:
+        return {strings[k]: strings[w] for k, w in zip(keys, vals)}
+
+    nodes, ways, rels = [], [], []
+    for g in groups:
+        for field, _, v in iter_fields(g):
+            if field == 1:  # plain Node
+                nid, keys, vals, lat, lon = 0, [], [], 0, 0
+                for f2, _, u in iter_fields(v):
+                    if f2 == 1:
+                        nid = _unzigzag(u)
+                    elif f2 == 2:
+                        keys = _packed_varints(u)
+                    elif f2 == 3:
+                        vals = _packed_varints(u)
+                    elif f2 == 8:
+                        lat = _unzigzag(u)
+                    elif f2 == 9:
+                        lon = _unzigzag(u)
+                nodes.append((nid, deg(lon_off, lon), deg(lat_off, lat), tags(keys, vals)))
+            elif field == 2:  # DenseNodes
+                ids = lats = lons = []
+                kv: list[int] = []
+                for f2, _, u in iter_fields(v):
+                    if f2 == 1:
+                        ids = _delta_decode(_packed_sints(u))
+                    elif f2 == 8:
+                        lats = _delta_decode(_packed_sints(u))
+                    elif f2 == 9:
+                        lons = _delta_decode(_packed_sints(u))
+                    elif f2 == 10:
+                        kv = _packed_varints(u)
+                ki = 0
+                for j, nid in enumerate(ids):
+                    t = {}
+                    while ki < len(kv) and kv[ki] != 0:
+                        t[strings[kv[ki]]] = strings[kv[ki + 1]]
+                        ki += 2
+                    ki += 1  # skip the 0 delimiter
+                    nodes.append((nid, deg(lon_off, lons[j]), deg(lat_off, lats[j]), t))
+            elif field == 3:  # Way
+                wid, keys, vals, refs = 0, [], [], []
+                for f2, _, u in iter_fields(v):
+                    if f2 == 1:
+                        wid = u
+                    elif f2 == 2:
+                        keys = _packed_varints(u)
+                    elif f2 == 3:
+                        vals = _packed_varints(u)
+                    elif f2 == 8:
+                        refs = _delta_decode(_packed_sints(u))
+                ways.append((wid, refs, tags(keys, vals)))
+            elif field == 4:  # Relation
+                rid, keys, vals, roles, memids, types = 0, [], [], [], [], []
+                for f2, _, u in iter_fields(v):
+                    if f2 == 1:
+                        rid = u
+                    elif f2 == 2:
+                        keys = _packed_varints(u)
+                    elif f2 == 3:
+                        vals = _packed_varints(u)
+                    elif f2 == 8:
+                        roles = _packed_varints(u)
+                    elif f2 == 9:
+                        memids = _delta_decode(_packed_sints(u))
+                    elif f2 == 10:
+                        types = _packed_varints(u)
+                rels.append(
+                    (
+                        rid,
+                        memids,
+                        [_MEMBER_TYPES.get(t, "?") for t in types],
+                        [strings[r] for r in roles],
+                        tags(keys, vals),
+                    )
+                )
+    return nodes, ways, rels
+
+
+NODE_SCHEMA = "node_id long, lon double, lat double, tags map<string,string>"
+WAY_SCHEMA = "way_id long, node_ids array<long>, tags map<string,string>"
+REL_SCHEMA = (
+    "rel_id long, member_ids array<long>, member_types array<string>, "
+    "roles array<string>, tags map<string,string>"
+)
+
+
+def read_pbf(spark, path: str):
+    """path → (nodes_df, ways_df, relations_df).
+
+    Driver indexes blob spans (headers only); blob decode fans out over the
+    cluster — each task seeks its own byte ranges, the planet file is never
+    materialized on one machine. ``path`` must be task-readable (shared FS /
+    object store), as with any Spark input."""
+    spans = [
+        (off, size) for btype, off, size in iter_blob_spans(path) if btype == "OSMData"
+    ]
+    sc = spark.sparkContext
+    n_parts = max(1, min(len(spans), sc.defaultParallelism))
+
+    def decode_partition(it):
+        for off, size in it:
+            yield decode_primitive_block(_read_blob_payload(path, off, size))
+
+    blocks = sc.parallelize(spans, n_parts).mapPartitions(decode_partition).cache()
+    nodes = spark.createDataFrame(blocks.flatMap(lambda b: b[0]), NODE_SCHEMA)
+    ways = spark.createDataFrame(blocks.flatMap(lambda b: b[1]), WAY_SCHEMA)
+    rels = spark.createDataFrame(blocks.flatMap(lambda b: b[2]), REL_SCHEMA)
+    return nodes, ways, rels

@@ -109,3 +109,125 @@ def test_clip_line_output_within_bbox(pts):
         assert (out[:, 0] <= bbox[2] + eps).all()
         assert (out[:, 1] >= bbox[1] - eps).all()
         assert (out[:, 1] <= bbox[3] + eps).all()
+
+
+def _cyc(ring):
+    """Canonical form of a ring: rotation- and orientation-invariant."""
+    pts = [tuple(p) for p in np.asarray(ring).tolist()]
+    best = None
+    for seq in (pts, pts[::-1]):
+        for i in range(len(seq)):
+            rot = tuple(seq[i:] + seq[:i])
+            if best is None or rot < best:
+                best = rot
+    return best
+
+
+def test_clip_polygon_concave_splits_into_two():
+    """lib/spatial/clip_golang_test.go:44-60, in the GEOS build's form
+    (lib/spatial/clip_geos.go:11-41): the U-polygon clipped at x=0.5 yields
+    TWO separate result polygons, not one two-ring geometry."""
+    u = [np.array(
+        [[0, 0], [0, 0.2], [0.8, 0.2], [0.8, 0.8], [0, 0.8], [0, 1], [1, 1], [1, 0]],
+        float,
+    )]
+    out = clip_polygon(u, (-0.1, -0.1, 0.5, 1.1))
+    assert len(out) == 2 and all(len(p) == 1 for p in out)
+    got = {_cyc(p[0]) for p in out}
+    want = {
+        _cyc(np.array([[0, 0.2], [0, 0], [0.5, 0], [0.5, 0.2]], float)),
+        _cyc(np.array([[0, 1], [0, 0.8], [0.5, 0.8], [0.5, 1]], float)),
+    }
+    assert got == want
+
+
+def test_clip_polygon_triangle_corner():
+    # lib/spatial/clip_golang_test.go:61-63 with the exact expected corner
+    tri = [np.array([[0, 10], [0, 0], [10, 0]], float)]
+    out = clip_polygon(tri, (5, -5, 20, 20))
+    assert len(out) == 1 and len(out[0]) == 1
+    assert _cyc(out[0][0]) == _cyc(np.array([[5, 5], [10, 0], [5, 0]], float))
+
+
+def test_clip_polygon_hole_cut_open_merges_into_shell():
+    """A hole crossing the clip edge must merge into the shell boundary
+    (GEOS intersection semantics) — one polygon, one C-shaped ring."""
+    donut = [
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+        np.array([[1, 1], [1, 3], [3, 3], [3, 1]], float),
+    ]
+    out = clip_polygon(donut, (0, 0, 2, 4))
+    assert len(out) == 1 and len(out[0]) == 1
+    want = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 3], [2, 3], [2, 4], [0, 4]], float
+    )
+    assert _cyc(out[0][0]) == _cyc(want)
+
+
+def test_clip_polygon_hole_inside_survives():
+    donut = [
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float),
+        np.array([[1, 1], [1, 3], [3, 3], [3, 1]], float),
+    ]
+    out = clip_polygon(donut, (0, 0, 3.5, 4))
+    assert len(out) == 1 and len(out[0]) == 2
+    # reference winding: shell clockwise, hole counter-clockwise
+    from grandine_spark.kernels.clip import _ring_area2_pts
+
+    assert _ring_area2_pts([tuple(p) for p in out[0][0].tolist()]) > 0
+    assert _ring_area2_pts([tuple(p) for p in out[0][1].tolist()]) < 0
+    assert _cyc(out[0][1]) == _cyc(donut[1])
+
+
+def test_clip_polygon_self_intersect_fixture():
+    """lib/spatial/clip_geos_test.go:19-30: the self-intersecting fixture
+    clipped to (0,0)-(2000,2000) resolves into exactly 2 polygons (the
+    reference reaches this via GEOS Buffer(0) topology repair)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "self_intersect.geojson")
+    fc = json.load(open(path))
+    coords = fc["features"][0]["geometry"]["coordinates"]
+    poly = [np.array(r, float) for r in coords]
+    out = clip_polygon(poly, (0, 0, 2000, 2000))
+    assert len(out) == 2
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-8, 8, allow_nan=False, width=16),
+            st.floats(-8, 8, allow_nan=False, width=16),
+        ),
+        min_size=3,
+        max_size=10,
+        unique=True,
+    )
+)
+def test_clip_polygon_pointwise_equivalence_convex(pts):
+    """Property: for convex polygons (hull of random points), membership in
+    the clipped result equals (in polygon) AND (in bbox) on a sample grid."""
+    import math
+
+    from grandine_spark.kernels.clip import _pt_in_ring
+
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    hull = sorted(pts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+    ring = np.array(hull, float)
+    # angular sort of unique points around the centroid is only convex-ish;
+    # good enough: the property holds for any SIMPLE polygon, and angular
+    # sort around an interior point of the hull yields a simple polygon
+    bbox = (-3.0, -3.0, 3.0, 3.0)
+    out = clip_polygon(ring is not None and [ring] or [], bbox)
+    rings = [[tuple(q) for q in p[0].tolist()] for p in out]
+    for gx in range(-6, 7, 2):
+        for gy in range(-6, 7, 2):
+            px, py = gx + 0.123456, gy + 0.654321  # off any clip/golden edge
+            want = _pt_in_ring(px, py, [tuple(q) for q in ring.tolist()]) and (
+                bbox[0] < px < bbox[2] and bbox[1] < py < bbox[3]
+            )
+            got = any(_pt_in_ring(px, py, r) for r in rings)
+            assert got == want, (px, py, hull)
