@@ -407,18 +407,27 @@ def q_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming op (availableNow over a parquet dir) — rows-only
-    check (no oracle): watermarked windowed per-cell counts of synthetic pages."""
+    """Structured-Streaming windowed per-cell counts, NOW oracle-checkable:
+    the stream is the derived document points with a deterministic event time
+    (2024-01-01 + doc_id minutes), 60-minute tumbling windows align with
+    DuckDB's date_trunc('hour')."""
     import tempfile
 
-    from grandine_spark.sources import synth
-    from grandine_spark.streaming.pipeline import stream_cell_counts
+    from grandine_spark.streaming.pipeline import windowed_cell_counts
 
     tmp = tempfile.mkdtemp(prefix="gs_stream_")
-    pages = synth.pages(spark, 2000)
-    pages.write.mode("overwrite").parquet(f"{tmp}/pages")
-    stream = spark.readStream.schema(pages.schema).parquet(f"{tmp}/pages")
-    out = stream_cell_counts(stream, zoom=5, window="60 minutes")
+    pts = _points(spark, sf_dir).select(
+        "doc_id",
+        "lon",
+        "lat",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("ts"),
+    )
+    pts.write.mode("overwrite").parquet(f"{tmp}/pts")
+    stream = spark.readStream.schema(pts.schema).parquet(f"{tmp}/pts")
+    out = windowed_cell_counts(stream, ts_col="ts", zoom=5, window="60 minutes")
     q = (
         out.writeStream.format("memory")
         .queryName("gs_stream_cells")
@@ -428,7 +437,7 @@ def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.sql(
-        "SELECT tile_x, tile_y, SUM(n) AS n FROM gs_stream_cells GROUP BY 1, 2"
+        "SELECT window_start, tile_x, tile_y, n FROM gs_stream_cells"
     )
 
 
@@ -891,6 +900,20 @@ GROUP BY c.way_id, c.n_points
 """
 
 
+def _oracle_stream_cell_counts() -> str:
+    tx, ty = _tile_sql("lon", "lat", 5)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+t AS (
+  SELECT doc_id, lon, lat,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+  FROM pts)
+SELECT date_trunc('hour', ts) AS window_start,
+       {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n
+FROM t GROUP BY 1, 2, 3
+"""
+
+
 def _oracle_event_windows() -> str:
     return """
 SELECT event_type,
@@ -1013,5 +1036,8 @@ def oracle_sql() -> dict[str, str]:
         "sessions": _oracle_sessions(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),
-        # stream_cell_counts, tiles: non-SQL-expressible → rows-only check
+        "stream_cell_counts": _oracle_stream_cell_counts(),
+        # tiles: binary MVT protobuf output is non-SQL-expressible → rows-only
+        # check here; tests/test_tiling_extras.py cross-checks the per-tile
+        # sha against an independent pure-python kernel encode
     }

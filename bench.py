@@ -105,9 +105,11 @@ def run_flagship_subprocess(cores: int, reps: int = 2) -> tuple[float, int]:
         "import sys, time, json; sys.path.insert(0, %r);"
         "from grandine_spark.session import get_spark;"
         "import bench;"
+        "from grandine_spark.operators.spatial_join import PIP_ARROW_BATCH;"
         "spark = get_spark('bench-scaling', cores=%d, shuffle_partitions=%d,"
         " extra_conf={'spark.sql.files.maxPartitionBytes': '4m',"
-        " 'spark.sql.files.openCostInBytes': '512k'});"
+        " 'spark.sql.files.openCostInBytes': '512k',"
+        " 'spark.sql.execution.arrow.maxRecordsPerBatch': str(PIP_ARROW_BATCH)});"
         "bench._warmup(spark, %d);"  # spin up EVERY python worker + codegen
         "best = 1e18;\n"
         "for _ in range(%d):\n"
@@ -147,6 +149,10 @@ def main():
 
     from grandine_spark.session import get_spark
 
+    from grandine_spark.operators.spatial_join import PIP_ARROW_BATCH
+
+    # bench rows are narrow (PIP candidates ~24 B; tile groups are bounded by
+    # partition size, far under the cap) so the large PIP batch is safe here
     spark = get_spark(
         "grandine-bench",
         cores=CPUS,
@@ -154,6 +160,7 @@ def main():
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "4m",
             "spark.sql.files.openCostInBytes": "512k",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(PIP_ARROW_BATCH),
         },
     )
     timings: dict[str, float] = {}
@@ -261,18 +268,35 @@ def main():
             # sample the same conditions; min per side filters the noise
             # (interference only ever slows a run down).
             tn = t4n = 1e18
+            pair_effs = []
             t_scaling0 = time.time()
             for pair in range(3):
                 # noise insurance: a 3rd pair only if the first two were
                 # quick (keeps worst-case bench wall time bounded)
-                if pair == 2 and time.time() - t_scaling0 > 720:
+                if pair == 2 and time.time() - t_scaling0 > 900:
                     break
-                t, rows_n = run_flagship_subprocess(SCALING_N, reps=2)
-                tn = min(tn, t)
+                t_n_pair, rows_n = run_flagship_subprocess(SCALING_N, reps=2)
+                tn = min(tn, t_n_pair)
                 # the 4N job is short — its min needs more samples to dodge
                 # the host's noise episodes (each extra rep is ~30 s)
-                t, rows_4n = run_flagship_subprocess(SCALING_4N, reps=3)
-                t4n = min(t4n, t)
+                t_4n_pair, rows_4n = run_flagship_subprocess(SCALING_4N, reps=3)
+                t4n = min(t4n, t_4n_pair)
+                pair_effs.append(
+                    round((rows_4n / t_4n_pair) / (rows_n / t_n_pair) / 4.0, 3)
+                )
+                print(
+                    f"[bench] scaling pair {pair}: eff={pair_effs[-1]}",
+                    file=sys.stderr, flush=True,
+                )
+            # noise-robust estimator: each pair samples the SAME host window,
+            # so a noise episode perturbs one pair, not the estimate; the
+            # MEDIAN of pair-wise efficiencies rejects a polluted pair in
+            # either direction (a slow-N pair inflates, a slow-4N deflates).
+            # Global min-per-side is reported alongside for transparency.
+            pair_effs.sort()
+            eff_median = pair_effs[len(pair_effs) // 2] if len(pair_effs) % 2 else round(
+                (pair_effs[len(pair_effs) // 2 - 1] + pair_effs[len(pair_effs) // 2]) / 2, 3
+            )
             thr_n = rows_n / tn
             thr_4n = rows_4n / t4n
             scaling = {
@@ -284,7 +308,9 @@ def main():
                 "elapsed_4n": round(t4n, 2),
                 "throughput_n": round(thr_n, 1),
                 "throughput_4n": round(thr_4n, 1),
-                "efficiency": round((thr_4n / thr_n) / 4.0, 3),
+                "pair_efficiencies": pair_effs,
+                "efficiency_minside": round((thr_4n / thr_n) / 4.0, 3),
+                "efficiency": eff_median,
             }
         except Exception as e:  # noqa: BLE001
             scaling = {"error": str(e)[:200]}

@@ -236,6 +236,7 @@ def build_tiles(
     gzip: bool = False,
     simplify: bool = False,
     codec: str = "mvt",
+    max_features_per_tile: int | None = None,
 ) -> DataFrame:
     """features → MVT tiles at the given zoom levels.
 
@@ -261,6 +262,25 @@ def build_tiles(
     all_cov = per_zoom[0]
     for p in per_zoom[1:]:
         all_cov = all_cov.unionByName(p)
+
+    if max_features_per_tile is not None:
+        # hot-tile cap: a tile group must fit ONE task (MVT dictionaries are
+        # order-sensitive, so groups cannot be split — SURVEY.md §7); without
+        # a bound, a z2 world tile over a dense corpus OOMs its executor.
+        # Deterministic truncation: keep the max_features_per_tile LOWEST
+        # feature_ids per tile. A rank window, not a slice of collect_list:
+        # the window's per-partition sort is disk-spillable, while a
+        # collect_list of the hot group materializes in executor memory —
+        # exactly the OOM being guarded. Costs one extra (coverage-row-sized)
+        # exchange when AQE re-coalesces; memory safety wins.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("tile_z", "tile_x", "tile_y").orderBy("feature_id")
+        all_cov = (
+            all_cov.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_features_per_tile)
+            .drop("_rn")
+        )
 
     grouped = all_cov.groupBy("tile_z", "tile_x", "tile_y").agg(
         F.collect_list(

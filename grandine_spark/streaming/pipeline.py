@@ -14,20 +14,22 @@ def stream_geocode(pages_stream: DataFrame) -> DataFrame:
     return geocode_pages(pages_stream)
 
 
-def stream_cell_counts(
-    pages_stream: DataFrame,
+def windowed_cell_counts(
+    points: DataFrame,
+    ts_col: str = "warc_ts",
     zoom: int = 7,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """Watermarked tumbling-window per-cell page counts: the continuous
-    analog of ``raster.rasterize_points``. Late pages beyond the watermark
-    are dropped by Spark's state eviction."""
-    pts = stream_geocode(pages_stream)
+    """Watermarked tumbling-window per-cell counts over (ts, lon, lat) rows:
+    the continuous analog of ``raster.rasterize_points``. Works identically
+    on a bounded DataFrame and a stream (which is what makes it
+    SQL-oracle-checkable); late rows beyond the watermark are dropped by
+    Spark's state eviction."""
     return (
-        pts.withWatermark("warc_ts", watermark)
+        points.withWatermark(ts_col, watermark)
         .groupBy(
-            F.window("warc_ts", window).alias("w"),
+            F.window(ts_col, window).alias("w"),
             TX.tile_x(F.col("lon"), zoom).alias("tile_x"),
             TX.tile_y(F.col("lat"), zoom).alias("tile_y"),
         )
@@ -40,6 +42,17 @@ def stream_cell_counts(
             "n",
         )
     )
+
+
+def stream_cell_counts(
+    pages_stream: DataFrame,
+    zoom: int = 7,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Geocode the pages stream, then windowed per-cell counts."""
+    pts = stream_geocode(pages_stream)
+    return windowed_cell_counts(pts, "warc_ts", zoom, window, watermark)
 
 
 def stream_tile_assignments(pages_stream: DataFrame, zoom: int = 14) -> DataFrame:
