@@ -125,7 +125,12 @@ def run_flagship_subprocess(cores: int, reps: int = 2) -> tuple[float, int]:
     )
     argv = [sys.executable, "-c", code]
     if _have_taskset():
-        argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
+        # pin to the TOP of the CPU range: CPUs 0..3 carry kernel threads /
+        # IRQs / host-tenant noise and measured 22% slower than 28-31 for the
+        # identical pinned job — the 4-core side was hostage to exactly those
+        # CPUs, which is where the pair-to-pair efficiency variance came from
+        total = os.cpu_count() or 32
+        argv = ["taskset", "-c", f"{total - cores}-{total - 1}"] + argv
     out = subprocess.run(
         argv,
         capture_output=True,
