@@ -143,3 +143,35 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def stream_tiles(
+    features_stream: DataFrame,
+    out_dir: str,
+    zooms: list[int],
+    checkpoint_dir: str,
+    gzip: bool = False,
+):
+    """Continuous tiling: each micro-batch of (new/changed) features runs
+    through the BATCH tiler and lands in the {z}/{x}/{y} tile tree — the
+    streaming twin of the reference's one-shot `tiler` command
+    (cmd/tiler/tiler.go:269-294), expressed as foreachBatch so batch and
+    stream share one code path (and therefore byte semantics). Re-emitted
+    tiles overwrite in place, so the tree converges to the latest state;
+    the checkpoint makes restarts resume mid-stream.
+
+    Returns the StreamingQuery (caller owns trigger/termination)."""
+    from ..operators.tiling import build_tiles, write_tiles_directory
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tiles = build_tiles(batch_df, zooms, gzip=gzip)
+        write_tiles_directory(tiles, out_dir)
+
+    return (
+        features_stream.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

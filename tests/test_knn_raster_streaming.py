@@ -248,3 +248,35 @@ def test_knn_antipodal_cluster_matches_bruteforce(spark):
     )
     want = {(0, i + 1): u for i, (_, u) in enumerate(scored[:5])}
     assert got == want
+
+
+def test_stream_tiles_matches_batch(spark, tmp_path):
+    """Streaming tiler (foreachBatch) writes the byte-identical tile tree a
+    batch build_tiles + directory sink produces for the same features."""
+    import os
+
+    from grandine_spark.operators.tiling import build_tiles, write_tiles_directory
+    from grandine_spark.streaming.pipeline import stream_tiles
+
+    feats = synth.features(spark, n_polygons=15, n_roads=10, n_pois=15)
+    src = str(tmp_path / "feats")
+    feats.write.parquet(src)
+
+    batch_dir = str(tmp_path / "batch_tiles")
+    write_tiles_directory(build_tiles(feats, [3, 5]), batch_dir)
+
+    stream_dir = str(tmp_path / "stream_tiles")
+    stream = spark.readStream.schema(feats.schema).parquet(src)
+    q = stream_tiles(stream, stream_dir, [3, 5], str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    def tree(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = open(p, "rb").read()
+        return out
+
+    bt, st = tree(batch_dir), tree(stream_dir)
+    assert len(bt) > 0 and bt == st
