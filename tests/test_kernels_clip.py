@@ -231,3 +231,27 @@ def test_clip_polygon_pointwise_equivalence_convex(pts):
             )
             got = any(_pt_in_ring(px, py, r) for r in rings)
             assert got == want, (px, py, hull)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-5, 5, allow_nan=False, width=16),
+            st.floats(-5, 5, allow_nan=False, width=16),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_ring_border_intersects_equals_exact(pts):
+    """The vectorized prefilter + exact fallback must decide exactly like the
+    full line_intersections test the reference's short-circuit uses."""
+    from grandine_spark.kernels.clip import _bbox_borders, _ring_border_intersects
+    from grandine_spark.kernels.geometry import line_intersections
+
+    ring = np.array(pts, float)
+    for bbox in [(-3, -3, 3, 3), (0, 0, 1, 1), (-5, -5, 5, 5)]:
+        exact = bool(line_intersections(ring, _bbox_borders(bbox)))
+        fast = _ring_border_intersects(ring, bbox)
+        assert fast == exact, (pts, bbox)
