@@ -533,11 +533,29 @@ def q_tag_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("feature_id", "k", "v")
 
 
+def _way_paths(resolved: DataFrame) -> DataFrame:
+    """(way_id, coords) → (way_id, n_points, path_m): order-sensitive
+    haversine path length, rounded to 3 dp."""
+    from grandine_spark.functions.tile_exprs import haversine_m
+
+    n = F.size(F.col("coords"))
+    a = F.slice(F.col("coords"), 1, n - 1)
+    b = F.slice(F.col("coords"), 2, n - 1)
+    segs = F.zip_with(
+        a, b, lambda p, q: haversine_m(p["x"], p["y"], q["x"], q["y"])
+    )
+    path = F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
+    return resolved.select(
+        "way_id",
+        n.cast("bigint").alias("n_points"),
+        F.round(path, 3).alias("path_m"),
+    )
+
+
 def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OSM-style way assembly (spatialize semantics as joins): nodes are the
     derived document points, ways chain 5 consecutive node ids; output the
     order-sensitive path length per assembled way."""
-    from grandine_spark.functions.tile_exprs import haversine_m
     from grandine_spark.operators.assemble import resolve_way_coords
 
     pts = _points(spark, sf_dir)
@@ -553,19 +571,40 @@ def q_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.create_map().cast("map<string,string>").alias("props"),
         )
     )
-    resolved = resolve_way_coords(ways, nodes)
-    n = F.size(F.col("coords"))
-    a = F.slice(F.col("coords"), 1, n - 1)
-    b = F.slice(F.col("coords"), 2, n - 1)
-    segs = F.zip_with(
-        a, b, lambda p, q: haversine_m(p["x"], p["y"], q["x"], q["y"])
+    return _way_paths(resolve_way_coords(ways, nodes))
+
+
+def q_pbf_way_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end WITH an oracle: the derived document points are written
+    to a real .osm.pbf (DenseNodes, zlib blobs), re-ingested by the
+    blob-parallel reader, and assembled — same output contract as
+    way_assembly, so its SQL oracle applies verbatim. The nanodegree grid
+    (granularity 100) perturbs coordinates by ≤1 ulp, absorbed by the 3-dp
+    rounding of path_m."""
+    import tempfile
+
+    from grandine_spark.operators.assemble import resolve_way_coords
+    from grandine_spark.sources.pbf import read_pbf, write_pbf
+
+    rows = _points(spark, sf_dir).orderBy("doc_id").collect()
+    path = tempfile.mktemp(prefix="gs_", suffix=".osm.pbf")
+    write_pbf(
+        path,
+        [(int(r.doc_id), float(r.lon), float(r.lat), {}) for r in rows],
+        ways=[
+            (wid, list(range(wid * 5, wid * 5 + 5)), {})
+            for wid in sorted({int(r.doc_id) // 5 for r in rows})
+        ],
+        nodes_per_block=128,
     )
-    path = F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
-    return resolved.select(
-        "way_id",
-        n.cast("bigint").alias("n_points"),
-        F.round(path, 3).alias("path_m"),
+    nodes_df, ways_df, _ = read_pbf(spark, path)
+    resolved = resolve_way_coords(
+        ways_df.select(
+            "way_id", "node_ids", F.col("tags").alias("props")
+        ),
+        nodes_df.select("node_id", "lon", "lat"),
     )
+    return _way_paths(resolved)
 
 
 # --- oracle SQL ---------------------------------------------------------------
@@ -988,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "tag_mapping": q_tag_mapping,
         "way_assembly": q_way_assembly,
+        "pbf_way_assembly": q_pbf_way_assembly,
         "event_windows": q_event_windows,
         "sessions": q_sessions,
         "pricing_summary": q_pricing_summary,
@@ -1032,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": _oracle_media_frames(),
         "tag_mapping": _oracle_tag_mapping(),
         "way_assembly": _oracle_way_assembly(),
+        "pbf_way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),
         "pricing_summary": _oracle_pricing_summary(),

@@ -231,3 +231,145 @@ def read_pbf(spark, path: str):
     ways = spark.createDataFrame(blocks.flatMap(lambda b: b[1]), WAY_SCHEMA)
     rels = spark.createDataFrame(blocks.flatMap(lambda b: b[2]), REL_SCHEMA)
     return nodes, ways, rels
+
+
+# --- encode side (fixture/sink support) ---------------------------------------
+# The reference has no PBF sink; this minimal writer exists so PBF ingestion
+# can be round-trip-tested hermetically (and to emit small extracts). Field
+# numbers per the vendored osmformat.proto / fileformat.proto.
+
+from ..kernels.protowire import ld, tag  # noqa: E402
+
+_DEFAULT_GRAN = 100
+
+
+def _zigzag64(v: int) -> int:
+    return ((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF
+
+
+def _packed(field: int, vals) -> bytes:
+    from ..kernels.protowire import varint
+
+    return ld(field, b"".join(varint(int(v)) for v in vals))
+
+
+def _packed_sint_delta(field: int, vals) -> bytes:
+    from ..kernels.protowire import varint
+
+    out, prev = [], 0
+    for v in vals:
+        out.append(_zigzag64(int(v) - prev))
+        prev = int(v)
+    return ld(field, b"".join(varint(x) for x in out))
+
+
+def _units(deg: float, granularity: int) -> int:
+    return round(deg * 1e9 / granularity)
+
+
+def write_pbf(
+    path: str,
+    nodes,
+    ways=(),
+    relations=(),
+    granularity: int = _DEFAULT_GRAN,
+    compress: bool = True,
+    nodes_per_block: int = 8000,
+):
+    """Write an .osm.pbf: nodes as DenseNodes blocks, then ways/relations.
+
+    nodes: iterable of (node_id, lon, lat, {tags}); ways: (way_id, [refs],
+    {tags}); relations: (rel_id, [memids], [types], [roles], {tags}).
+    Deterministic for identical input order."""
+    from ..kernels.protowire import varint
+
+    strings = [""]
+    str_ix: dict[str, int] = {"": 0}
+
+    def sid(s: str) -> int:
+        if s not in str_ix:
+            str_ix[s] = len(strings)
+            strings.append(s)
+        return str_ix[s]
+
+    nodes = list(nodes)
+    ways = list(ways)
+    relations = list(relations)
+    for _, _, _, t in nodes:
+        for k, v in t.items():
+            sid(k), sid(v)
+    for _, _, t in ways:
+        for k, v in t.items():
+            sid(k), sid(v)
+    for _, _, _, roles, t in relations:
+        for r in roles:
+            sid(r)
+        for k, v in t.items():
+            sid(k), sid(v)
+
+    def block(groups: list[bytes]) -> bytes:
+        body = ld(1, b"".join(ld(1, s.encode("utf-8")) for s in strings))
+        for g in groups:
+            body += ld(2, g)
+        body += tag(17, 0) + varint(granularity)
+        return body
+
+    def dense(chunk) -> bytes:
+        ids = [n[0] for n in chunk]
+        lons = [_units(n[1], granularity) for n in chunk]
+        lats = [_units(n[2], granularity) for n in chunk]
+        kv: list[int] = []
+        for n in chunk:
+            for k, v in n[3].items():
+                kv += [str_ix[k], str_ix[v]]
+            kv.append(0)
+        return ld(
+            2,
+            _packed_sint_delta(1, ids)
+            + _packed_sint_delta(8, lats)
+            + _packed_sint_delta(9, lons)
+            + _packed(10, kv),
+        )
+
+    def way_msg(wid, refs, t) -> bytes:
+        body = tag(1, 0) + varint(int(wid))
+        if t:
+            body += _packed(2, [str_ix[k] for k in t])
+            body += _packed(3, [str_ix[v] for v in t.values()])
+        body += _packed_sint_delta(8, refs)
+        return ld(3, body)
+
+    def rel_msg(rid, memids, types, roles, t) -> bytes:
+        tmap = {"node": 0, "way": 1, "relation": 2}
+        body = tag(1, 0) + varint(int(rid))
+        if t:
+            body += _packed(2, [str_ix[k] for k in t])
+            body += _packed(3, [str_ix[v] for v in t.values()])
+        body += _packed(8, [str_ix[r] for r in roles])
+        body += _packed_sint_delta(9, memids)
+        body += _packed(10, [tmap.get(x, 0) for x in types])
+        return ld(4, body)
+
+    def file_blob(btype: str, payload: bytes) -> bytes:
+        import struct
+
+        if compress:
+            blob = (
+                tag(2, 0) + varint(len(payload)) + ld(3, zlib.compress(payload))
+            )
+        else:
+            blob = ld(1, payload)
+        header = ld(1, btype.encode()) + tag(3, 0) + varint(len(blob))
+        return struct.pack(">I", len(header)) + header + blob
+
+    with open(path, "wb") as f:
+        f.write(file_blob("OSMHeader", b""))
+        for i in range(0, len(nodes), nodes_per_block):
+            f.write(file_blob("OSMData", block([dense(nodes[i : i + nodes_per_block])])))
+        groups = []
+        if ways:
+            groups.append(b"".join(way_msg(*w) for w in ways))
+        if relations:
+            groups.append(b"".join(rel_msg(*r) for r in relations))
+        if groups:
+            f.write(file_blob("OSMData", block(groups)))
