@@ -499,6 +499,110 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spaten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spaten codec (S1-S3) oracle-checked end-to-end: nation-derived diamond
+    polygons encode to Spaten file bytes and decode back; the recovered
+    geometry's bbox, shoelace area, and layer tag must equal the closed-form
+    derivation the oracle computes from the nation table directly."""
+    from grandine_spark.kernels.geometry import ring_area2
+    from grandine_spark.kernels.wkb import from_wkb
+    from grandine_spark.sources.spaten import read_features, write_blocks
+
+    feats = _diamond_features(spark, sf_dir).collect()
+    blob = write_blocks(
+        [
+            {
+                "geom_type": int(r.geom_type),
+                "wkb": bytes(r.wkb),
+                "bbox": (r.minx, r.miny, r.maxx, r.maxy),
+                "props": dict(r.props) | {"feature_id": str(r.feature_id)},
+            }
+            for r in feats
+        ]
+    )
+    rows = []
+    for ft in read_features(blob):
+        gt, rings = from_wkb(bytes(ft["wkb"]))
+        minx, miny, maxx, maxy = ft["bbox"]
+        rows.append(
+            (
+                int(ft["props"]["feature_id"]),
+                gt,
+                round(minx, 6),
+                round(miny, 6),
+                round(maxx, 6),
+                round(maxy, 6),
+                round(abs(ring_area2(rings[0])) / 2.0, 6),
+                ft["props"]["@layer"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "feature_id long, geom_type int, minx double, miny double, "
+        "maxx double, maxy double, area double, layer string",
+    )
+
+
+def _oracle_spaten_roundtrip() -> str:
+    return """
+WITH d AS (
+  SELECT n_nationkey AS feature_id,
+         (n_nationkey * 77) % 360 - 180 + 0.5 AS cx,
+         (n_nationkey * 37) % 160 - 80 + 0.5 AS cy,
+         5.0 + (n_nationkey % 4) * 2.0 AS r
+  FROM nation)
+SELECT feature_id, CAST(3 AS INTEGER) AS geom_type,
+       ROUND(cx - r, 6) AS minx, ROUND(cy - r, 6) AS miny,
+       ROUND(cx + r, 6) AS maxx, ROUND(cy + r, 6) AS maxy,
+       ROUND(2.0 * r * r, 6) AS area,
+       'admin' AS layer
+FROM d
+"""
+
+
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON codec (S4/S5) oracle-checked end-to-end: diamond features →
+    GeoJSON text (distributed mapInPandas encode, rings re-closed/re-wound)
+    → decoded back through the reference-semantics parser — recovered bbox,
+    area, and layer must equal the nation-derived closed forms (same oracle
+    as the Spaten round-trip)."""
+    import json
+
+    from grandine_spark.kernels.geometry import ring_area2
+    from grandine_spark.kernels.wkb import from_wkb
+    from grandine_spark.sources.convert import features_to_geojson
+    from grandine_spark.sources.geojson import feature_rows_from_geojson
+
+    feats = _diamond_features(spark, sf_dir)
+    keyed = feats.select(
+        "wkb", F.map_concat(
+            F.col("props"),
+            F.create_map(F.lit("feature_id"), F.col("feature_id").cast("string")),
+        ).alias("props"),
+    )
+    rows = []
+    for r in features_to_geojson(keyed).collect():
+        for ft in feature_rows_from_geojson(json.loads(r.geojson)):
+            gt, rings = from_wkb(bytes(ft["wkb"]))
+            rows.append(
+                (
+                    int(ft["props"]["feature_id"]),
+                    gt,
+                    round(ft["minx"], 6),
+                    round(ft["miny"], 6),
+                    round(ft["maxx"], 6),
+                    round(ft["maxy"], 6),
+                    round(abs(ring_area2(rings[0])) / 2.0, 6),
+                    ft["props"]["@layer"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "feature_id long, geom_type int, minx double, miny double, "
+        "maxx double, maxy double, area double, layer string",
+    )
+
+
 def q_tag_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-mapping DSL (Condition.Matches + Condition.Map,
     lib/mapping/condition.go:16-34): rules applied to nation-derived
@@ -1026,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "tag_mapping": q_tag_mapping,
+        "spaten_roundtrip": q_spaten_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "way_assembly": q_way_assembly,
         "pbf_way_assembly": q_pbf_way_assembly,
         "event_windows": q_event_windows,
@@ -1071,6 +1177,8 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": _oracle_media_meta(),
         "media_frames": _oracle_media_frames(),
         "tag_mapping": _oracle_tag_mapping(),
+        "spaten_roundtrip": _oracle_spaten_roundtrip(),
+        "geojson_roundtrip": _oracle_spaten_roundtrip(),
         "way_assembly": _oracle_way_assembly(),
         "pbf_way_assembly": _oracle_way_assembly(),
         "event_windows": _oracle_event_windows(),
