@@ -373,3 +373,45 @@ def write_pbf(
             groups.append(b"".join(rel_msg(*r) for r in relations))
         if groups:
             f.write(file_blob("OSMData", block(groups)))
+
+
+def features_from_pbf(spark, path: str):
+    """path → tiler-ready feature DataFrame: the reference's full
+    spatialize chain (PBF → assembled ways + multipolygon relations,
+    spatialize.go:204-326) composed with the tiling schema (layer routing,
+    zoom gates defaulted open). Ways become lines/areas via assemble_ways;
+    relations tagged type=multipolygon become polygons-with-holes via
+    assemble_multipolygons over their way members."""
+    from pyspark.sql import functions as F
+
+    from ..operators.assemble import assemble_multipolygons, assemble_ways
+
+    nodes, ways, rels = read_pbf(spark, path)
+    nds = nodes.select("node_id", "lon", "lat")
+    w = ways.select("way_id", "node_ids", F.col("tags").alias("props"))
+    feats_w = assemble_ways(w, nds)
+
+    members = F.arrays_zip("member_ids", "member_types", "roles")
+    way_members = F.filter(members, lambda m: m["member_types"] == F.lit("way"))
+    mp = rels.filter(F.col("tags").getItem("type") == "multipolygon").select(
+        "rel_id",
+        F.transform(way_members, lambda m: m["member_ids"]).alias("way_ids"),
+        F.transform(way_members, lambda m: m["roles"]).alias("roles"),
+        F.col("tags").alias("props"),
+    )
+    feats_r = assemble_multipolygons(mp, w, nds)
+
+    out = feats_w.unionByName(feats_r)
+    return out.select(
+        "feature_id",
+        F.coalesce(F.col("props").getItem("@layer"), F.lit("default")).alias("layer"),
+        "geom_type",
+        "wkb",
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+        F.lit(None).cast("double").alias("zoom_min"),
+        F.lit(None).cast("double").alias("zoom_max"),
+        "props",
+    )

@@ -35,6 +35,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="parquet path of a pages table (else synthetic)")
     ap.add_argument("--features", help="parquet path of a features table (else synthetic)")
+    ap.add_argument("--pbf", help=".osm.pbf path: assemble features from OSM data "
+                                  "(the reference's spatialize→tiler chain)")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--zooms", default="2,7,14")
     ap.add_argument("--join-zoom", type=int, default=7)
@@ -50,9 +52,14 @@ def main():
     pages = (
         spark.read.parquet(args.pages) if args.pages else synth.pages(spark, args.n_pages)
     )
-    features = (
-        spark.read.parquet(args.features) if args.features else synth.features(spark)
-    )
+    if args.pbf:
+        from grandine_spark.sources.pbf import features_from_pbf
+
+        features = features_from_pbf(spark, args.pbf)
+    elif args.features:
+        features = spark.read.parquet(args.features)
+    else:
+        features = synth.features(spark)
 
     t0 = time.time()
     out = run_pipeline(

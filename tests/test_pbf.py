@@ -219,3 +219,20 @@ def test_pbf_feeds_assembly(spark, pbf_path):
         for (gx, gy), (wx, wy) in zip(got[wid], coords):
             assert gx == pytest.approx(wx, abs=1e-9)
             assert gy == pytest.approx(wy, abs=1e-9)
+
+
+def test_features_from_pbf_to_tiles(spark, pbf_path):
+    """The reference's primary workflow end-to-end: .osm.pbf → assembled
+    features → MVT tiles, all through the engine's own operators."""
+    from grandine_spark.operators.tiling import build_tiles
+    from grandine_spark.sources.pbf import features_from_pbf
+
+    feats = features_from_pbf(spark, pbf_path)
+    rows = {r.feature_id: r for r in feats.collect()}
+    # ways 7 (open) and 8 (closed, untagged) assemble as linestrings; the
+    # multipolygon relation 9 assembles as a polygon feature
+    assert rows[7].geom_type == 2 and rows[8].geom_type == 2
+    assert rows[9].geom_type == 3
+    assert dict(rows[7].props) == {"highway": "primary", "name": "main st"}
+    tiles = build_tiles(feats, [5]).collect()
+    assert len(tiles) > 0 and all(len(bytes(t.tile)) > 0 for t in tiles)
