@@ -307,7 +307,8 @@ def main():
                 # adaptive: stop once a clean pair exists (≥ 0.82) or the
                 # section's wall budget is spent — but always run ≥ 2 pairs
                 elapsed = time.time() - t_scaling0
-                if pair >= 2 and (max(pair_effs) >= 0.82 or elapsed > 1500):
+                best_plausible = max([e for e in pair_effs if e <= 1.0], default=0.0)
+                if pair >= 2 and (best_plausible >= 0.82 or elapsed > 1500):
                     break
                 # fresh CPU masks per pair (co-tenant load moves): the N-run
                 # uses the quietest-4 SUBSET of the 4N-run's quietest-16, so
