@@ -165,6 +165,7 @@ def spatial_join(
     feature_cols: tuple = ("feature_id",),
     salt_threshold: int | None = None,
     max_dim_features: int = 1_000_000,
+    refine: str = "arrow",
 ) -> DataFrame:
     """points(lon,lat,…) ⨝ polygon features → refined containment rows.
 
@@ -178,6 +179,17 @@ def spatial_join(
     the driver; if the feature count exceeds this guard the join falls back
     to the shuffle path automatically (same output) instead of OOMing the
     driver — "small by definition" is now enforced, not assumed.
+
+    ``refine`` (broadcast path): ``"arrow"`` (default) refines with the
+    vectorized pandas-UDF ray-cast kernel; ``"native"`` evaluates the SAME
+    exact semantics as a pure Catalyst expression over a broadcast
+    per-feature edge array (functions/pip_native.py) — zero Python stages
+    in the whole plan, identical output (asserted in tests). Arrow stays
+    the default because Spark's higher-order functions (transform/filter/
+    exists) are CodegenFallback — interpreted per row — measuring ~4x
+    slower than the Arrow kernel at the benchmark shape; the native path
+    earns its keep as a python-worker-free deployment option and as an
+    independent differential check of the PIP kernel.
     """
     pts = index_points(points, zoom)
 
@@ -230,6 +242,31 @@ def spatial_join(
                 F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
             )
         )
+        if refine == "native":
+            # geometry as a SECOND broadcast dim keyed by feature_id (edges
+            # stored once per feature, not per covering cell) + the pure-
+            # Catalyst ray-cast — no Python worker anywhere in the plan
+            from ..functions.pip_native import (
+                GEO_DIM_SCHEMA,
+                feature_edge_row,
+                pip_native,
+            )
+
+            geo_df = spark.createDataFrame(
+                [feature_edge_row(fid, rings) for fid, rings in poly_map.items()],
+                GEO_DIM_SCHEMA,
+            )
+            joined_geo = coarse.join(F.broadcast(geo_df), "feature_id", "inner")
+            refined = joined_geo.filter(
+                F.col("full_inside")
+                | pip_native(
+                    F.col("lon"), F.col("lat"),
+                    F.col("ox"), F.col("oy"), F.col("rox"), F.col("roy"),
+                    F.col("edges"),
+                )
+            )
+            return refined.select(*[F.col(c) for c in point_cols + feature_cols])
+
         pip_fid = F.when(F.col("full_inside"), F.lit(sentinel)).otherwise(
             F.col("feature_id")
         )

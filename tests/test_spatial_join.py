@@ -248,3 +248,32 @@ def test_radius_join_dim_guard_falls_back_same_result(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_native_pip_refine_equals_arrow(spark, pages_df, features_df):
+    """The pure-Catalyst ray-cast (functions/pip_native.py) must produce the
+    identical join result to the Arrow kernel — a differential check of two
+    independent implementations of Point.InPolygon — and its plan must
+    contain no Python stage at all."""
+    import contextlib
+    import io
+    import re
+
+    from grandine_spark.operators.spatial_join import spatial_join
+
+    pts = geocode_pages(pages_df)
+    a = {
+        (r.url, r.feature_id)
+        for r in spatial_join(pts, features_df, zoom=6, refine="arrow").collect()
+    }
+    b = {
+        (r.url, r.feature_id)
+        for r in spatial_join(pts, features_df, zoom=6, refine="native").collect()
+    }
+    assert a == b and len(a) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spatial_join(pts, features_df, zoom=6, refine="native").explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert not re.findall(r"\bExchange \(\d+\)", plan)  # still zero shuffles
