@@ -175,3 +175,24 @@ def stream_tiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_spatial_join(
+    pages_stream: DataFrame,
+    features: DataFrame,
+    zoom: int = 7,
+    point_cols: tuple = ("url",),
+    feature_cols: tuple = ("feature_id",),
+) -> DataFrame:
+    """Continuous geocode→containment: the flagship broadcast spatial join
+    applied to a pages STREAM. Stateless (map-side broadcast join + filter,
+    no shuffle, no state store), so the identical plan serves batch and
+    stream — each arriving page emits its containment rows immediately.
+    The polygon side is a bounded DataFrame (broadcast per micro-batch)."""
+    from ..operators.spatial_join import spatial_join
+
+    pts = stream_geocode(pages_stream)
+    return spatial_join(
+        pts, features, zoom=zoom,
+        point_cols=point_cols, feature_cols=feature_cols,
+    )

@@ -280,3 +280,35 @@ def test_stream_tiles_matches_batch(spark, tmp_path):
 
     bt, st = tree(batch_dir), tree(stream_dir)
     assert len(bt) > 0 and bt == st
+
+
+def test_stream_spatial_join_matches_batch(spark, tmp_path):
+    """Streaming containment rows == batch spatial join over the same pages."""
+    from grandine_spark.operators.spatial_join import spatial_join
+    from grandine_spark.streaming.pipeline import stream_spatial_join
+
+    pages = synth.pages(spark, 1200)
+    feats = synth.features(spark, n_polygons=25, n_roads=0, n_pois=0)
+    src = str(tmp_path / "pages_sj")
+    pages.write.parquet(src)
+
+    batch = {
+        (r.url, r.feature_id)
+        for r in spatial_join(geocode_pages(pages), feats, zoom=6).collect()
+    }
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    out = stream_spatial_join(stream, feats, zoom=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.url, r.feature_id)
+        for r in spark.sql("SELECT * FROM t_sjoin").collect()
+    }
+    assert streamed == batch and len(batch) > 0
