@@ -357,8 +357,11 @@ def main():
                 "efficiency_minside": round((thr_4n / thr_n) / 4.0, 3),
                 # a pair > 1.0 means ITS N side was the noisy one — not a
                 # credible efficiency; best plausible pair, else the median
+                # clamped to 1.0 (all-pairs-implausible = N was disturbed in
+                # every window; perfect scaling is the only honest bound)
                 "efficiency": max(
-                    [e for e in pair_effs if e <= 1.0], default=eff_median
+                    [e for e in pair_effs if e <= 1.0],
+                    default=min(eff_median, 1.0),
                 ),
             }
         except Exception as e:  # noqa: BLE001
