@@ -1043,6 +1043,92 @@ GROUP BY c.way_id, c.n_points
 """
 
 
+def q_multipolygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM multipolygon relation assembly (spatialize.go:300-326) with a
+    closed-form oracle: per nation, an outer square way (side s = k%5+2 at
+    SW corner (3k, 2k)) and a concentric half-side inner hole way form one
+    relation; the assembled polygon's ring count, bbox, and hole-subtracted
+    shoelace area (s² − (s/2)²) are derived arithmetically in SQL."""
+    from grandine_spark.kernels.geometry import ring_area2
+    from grandine_spark.kernels.wkb import from_wkb
+    from grandine_spark.operators.assemble import assemble_multipolygons
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    node_rows, way_rows, rel_rows = [], [], []
+    for r in nation:
+        k = int(r.n_nationkey)
+        x0, y0 = float(3 * k), float(2 * k)  # outer SW corner
+        s = float(k % 5 + 2)  # outer side length
+        # outer ring nodes (ids k*100+0..3), inner hole nodes (k*100+4..7)
+        oc = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+        ic = [
+            (x0 + s / 4, y0 + s / 4),
+            (x0 + 3 * s / 4, y0 + s / 4),
+            (x0 + 3 * s / 4, y0 + 3 * s / 4),
+            (x0 + s / 4, y0 + 3 * s / 4),
+        ]
+        for j, (x, y) in enumerate(oc + ic):
+            node_rows.append((k * 100 + j, x, y))
+        way_rows.append(
+            (k * 10, [k * 100 + j for j in (0, 1, 2, 3, 0)], {})
+        )
+        way_rows.append(
+            (k * 10 + 1, [k * 100 + j for j in (4, 5, 6, 7, 4)], {})
+        )
+        rel_rows.append(
+            (k, [k * 10, k * 10 + 1], ["outer", "inner"], {"type": "multipolygon"})
+        )
+    nodes = spark.createDataFrame(node_rows, "node_id long, lon double, lat double")
+    ways = spark.createDataFrame(
+        way_rows, "way_id long, node_ids array<long>, props map<string,string>"
+    )
+    rels = spark.createDataFrame(
+        rel_rows,
+        "rel_id long, way_ids array<long>, roles array<string>, "
+        "props map<string,string>",
+    )
+    feats = assemble_multipolygons(rels, ways, nodes)
+    rows = []
+    for r in feats.collect():
+        gt, rings = from_wkb(bytes(r.wkb))
+        area = abs(ring_area2(rings[0])) / 2.0 - sum(
+            abs(ring_area2(ring)) / 2.0 for ring in rings[1:]
+        )
+        rows.append(
+            (
+                int(r.feature_id),
+                len(rings),
+                round(r.minx, 6),
+                round(r.miny, 6),
+                round(r.maxx, 6),
+                round(r.maxy, 6),
+                round(area, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rel_id long, n_rings int, minx double, miny double, "
+        "maxx double, maxy double, area double",
+    )
+
+
+def _oracle_multipolygon_assembly() -> str:
+    return """
+WITH d AS (
+  SELECT n_nationkey AS rel_id,
+         CAST(3 * n_nationkey AS DOUBLE) AS x0,
+         CAST(2 * n_nationkey AS DOUBLE) AS y0,
+         CAST(n_nationkey % 5 + 2 AS DOUBLE) AS s
+  FROM nation)
+SELECT rel_id, CAST(2 AS INTEGER) AS n_rings,
+       ROUND(x0, 6) AS minx, ROUND(y0, 6) AS miny,
+       ROUND(x0 + s, 6) AS maxx, ROUND(y0 + s, 6) AS maxy,
+       -- outer s² minus the concentric half-side hole (s/2)²
+       ROUND(s * s - (s / 2) * (s / 2), 6) AS area
+FROM d
+"""
+
+
 def _oracle_stream_cell_counts() -> str:
     tx, ty = _tile_sql("lon", "lat", 5)
     return f"""
@@ -1134,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "way_assembly": q_way_assembly,
         "pbf_way_assembly": q_pbf_way_assembly,
+        "multipolygon_assembly": q_multipolygon_assembly,
         "event_windows": q_event_windows,
         "sessions": q_sessions,
         "pricing_summary": q_pricing_summary,
@@ -1181,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _oracle_spaten_roundtrip(),
         "way_assembly": _oracle_way_assembly(),
         "pbf_way_assembly": _oracle_way_assembly(),
+        "multipolygon_assembly": _oracle_multipolygon_assembly(),
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),
         "pricing_summary": _oracle_pricing_summary(),

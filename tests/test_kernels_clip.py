@@ -255,3 +255,40 @@ def test_ring_border_intersects_equals_exact(pts):
         exact = bool(line_intersections(ring, _bbox_borders(bbox)))
         fast = _ring_border_intersects(ring, bbox)
         assert fast == exact, (pts, bbox)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.floats(-6, 0, allow_nan=False, width=32),
+    st.floats(-6, 0, allow_nan=False, width=32),
+    st.floats(2, 9, allow_nan=False, width=32),
+    st.floats(0.125, 0.375, allow_nan=False, width=32),
+    st.floats(0.125, 0.375, allow_nan=False, width=32),
+)
+def test_clip_polygon_pointwise_equivalence_with_hole(x0, y0, s, fx, fy):
+    """Property incl. HOLES: membership in the clipped result equals
+    (inside shell) XOR-style even-odd with the hole, intersected with the
+    bbox — sampled on an off-edge grid."""
+    from grandine_spark.kernels.clip import _pt_in_ring
+
+    shell = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+    hx0, hy0 = x0 + fx * s, y0 + fy * s
+    hs = s * 0.35
+    hole = [(hx0, hy0), (hx0, hy0 + hs), (hx0 + hs, hy0 + hs), (hx0 + hs, hy0)]
+    poly = [np.array(shell, float), np.array(hole, float)]
+    bbox = (-3.0, -3.0, 3.0, 3.0)
+    out = clip_polygon(poly, bbox)
+    rings = [
+        [tuple(q) for q in ring.tolist()] for p in out for ring in p
+    ]
+    for gx in range(-5, 6):
+        for gy in range(-5, 6):
+            px, py = gx + 0.1234567, gy + 0.7654321
+            want = (
+                _pt_in_ring(px, py, shell)
+                != _pt_in_ring(px, py, hole)
+            ) and _pt_in_ring(px, py, shell) and (
+                bbox[0] < px < bbox[2] and bbox[1] < py < bbox[3]
+            )
+            got = sum(_pt_in_ring(px, py, r) for r in rings) % 2 == 1
+            assert got == want, (px, py, x0, y0, s, fx, fy)
