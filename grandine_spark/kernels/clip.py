@@ -363,6 +363,46 @@ def _ring_border_intersects(ring, bbox, eps: float = 1e-7) -> bool:
                 if segment_intersection(seg, border)[1]:
                     return True
         return False
+
+
+def _any_border_intersection_np(a: np.ndarray, b: np.ndarray, bbox) -> bool:
+    """Exact vectorized twin of ``any(segment_intersection(seg, border)[1])``
+    over candidate segments × the 4 bbox borders: same cartesian
+    coefficients, same 8-dp rounding (round8_np == scalar round8), same
+    rounded-endpoint HasPoint bounds (lib/spatial/line.go:240-348)."""
+    from .rounding import round8_np
+
+    a1 = a[:, 1] - b[:, 1]
+    b1 = b[:, 0] - a[:, 0]
+    c1 = b[:, 0] * a[:, 1] - a[:, 0] * b[:, 1]
+    ra, rb = round8_np(a), round8_np(b)
+    slo_x = np.minimum(ra[:, 0], rb[:, 0])[:, None]
+    shi_x = np.maximum(ra[:, 0], rb[:, 0])[:, None]
+    slo_y = np.minimum(ra[:, 1], rb[:, 1])[:, None]
+    shi_y = np.maximum(ra[:, 1], rb[:, 1])[:, None]
+
+    borders = _bbox_borders(bbox)
+    q0 = np.array([s[0] for s in borders])  # (4,2)
+    q1 = np.array([s[1] for s in borders])
+    a2 = q0[:, 1] - q1[:, 1]
+    b2 = q1[:, 0] - q0[:, 0]
+    c2 = q1[:, 0] * q0[:, 1] - q0[:, 0] * q1[:, 1]
+    rq0, rq1 = round8_np(q0), round8_np(q1)
+    blo_x = np.minimum(rq0[:, 0], rq1[:, 0])[None, :]
+    bhi_x = np.maximum(rq0[:, 0], rq1[:, 0])[None, :]
+    blo_y = np.minimum(rq0[:, 1], rq1[:, 1])[None, :]
+    bhi_y = np.maximum(rq0[:, 1], rq1[:, 1])[None, :]
+
+    det = a1[:, None] * b2[None, :] - a2[None, :] * b1[:, None]  # (N,4)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ix = round8_np((b2[None, :] * c1[:, None] - b1[:, None] * c2[None, :]) / det)
+        iy = round8_np((a1[:, None] * c2[None, :] - a2[None, :] * c1[:, None]) / det)
+    ok = (
+        (det != 0)
+        & (ix >= slo_x) & (ix <= shi_x) & (iy >= slo_y) & (iy <= shi_y)
+        & (ix >= blo_x) & (ix <= bhi_x) & (iy >= blo_y) & (iy <= bhi_y)
+    )
+    return bool(ok.any())
     a, b = p[:-1], p[1:]  # non-closing, like Line.Segments()
     sxlo, sxhi = np.minimum(a[:, 0], b[:, 0]), np.maximum(a[:, 0], b[:, 0])
     sylo, syhi = np.minimum(a[:, 1], b[:, 1]), np.maximum(a[:, 1], b[:, 1])
@@ -377,16 +417,7 @@ def _ring_border_intersects(ring, bbox, eps: float = 1e-7) -> bool:
     cand = np.flatnonzero((yov & near_vx) | (xov & near_hy))
     if cand.size == 0:
         return False
-    borders = _bbox_borders(bbox)
-    for i in cand:
-        seg = (
-            (float(a[i, 0]), float(a[i, 1])),
-            (float(b[i, 0]), float(b[i, 1])),
-        )
-        for border in borders:
-            if segment_intersection(seg, border)[1]:
-                return True
-    return False
+    return _any_border_intersection_np(a[cand], b[cand], bbox)
 
 
 def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
