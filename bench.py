@@ -248,6 +248,22 @@ def main():
     meta["tiles"] = n_tiles
     meta["tiles_per_sec"] = round(n_tiles / timings["tiles_z2_12"], 1)
 
+    from grandine_spark.operators.spatial_join import (
+        multires_spatial_join,
+        radius_join,
+    )
+
+    timed(
+        "multires_join",
+        lambda: multires_spatial_join(pts, feats, z_coarse=2, z_fine=10).count(),
+        reps=2,
+    )
+    timed(
+        "radius_join",
+        lambda: radius_join(pts, feats, radius_deg=0.5, zoom=7).count(),
+        reps=2,
+    )
+
     queries_df = spark.createDataFrame(
         [(i, float((i * 67) % 340 - 170), float((i * 29) % 140 - 70)) for i in range(100)],
         "q_id int, lon double, lat double",
