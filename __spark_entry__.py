@@ -263,6 +263,41 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def q_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup (dup → keeper) pairs via the window-min plan (single
+    digest shuffle, no broadcast of the corpus-sized keeper table). The
+    corpus has no exact duplicates at this sf, so the input maps each doc
+    to the text of doc_id % 250 — every surviving text occurs twice."""
+    from grandine_spark.operators.dedup import dedup_exact_pairs
+
+    d = _docs(spark, sf_dir)
+    dup = d.select("doc_id", (F.col("doc_id") % 250).alias("src")).join(
+        d.select(F.col("doc_id").alias("src"), "text"), "src"
+    )
+    return dedup_exact_pairs(dup).select("dup_id", "keeper_id")
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle document-frequency cap (the quadratic-blowup guard) under
+    oracle check: shingles in more than 3 documents are dropped BEFORE the
+    self-join, and sizes/intersections are computed on the capped universe."""
+    from grandine_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle_k=3, threshold=0.8, max_shingle_freq=3
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the bucket-width skew guard active (buckets wider
+    than 3 docs dropped before the self-join) — oracle-checked."""
+    from grandine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_perm=4, band_size=2, shingle_k=3, max_bucket=3
+    ).select("id_a", "id_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.dedup import simhash_buckets
 
@@ -891,6 +926,62 @@ FROM bits GROUP BY doc_id
 """
 
 
+def _oracle_dedup_pairs() -> str:
+    return """
+WITH dup AS (
+  SELECT d.doc_id, s.text
+  FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 250),
+k AS (SELECT md5(text) AS dg, MIN(doc_id) AS keeper_id FROM dup GROUP BY 1)
+SELECT dup.doc_id AS dup_id, k.keeper_id
+FROM dup JOIN k ON md5(dup.text) = k.dg
+WHERE dup.doc_id <> k.keeper_id
+"""
+
+
+def _oracle_ngram_jaccard_capped() -> str:
+    return f"""
+WITH {_SHINGLE_SQL},
+shd0 AS (SELECT DISTINCT doc_id, s FROM sh),
+ok AS (SELECT s FROM shd0 GROUP BY s HAVING COUNT(*) <= 3),
+shd AS (SELECT shd0.* FROM shd0 JOIN ok USING (s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(ni::DOUBLE / (sa.sz + sb.sz - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ni::DOUBLE / (sa.sz + sb.sz - ni) >= 0.8
+"""
+
+
+def _oracle_minhash_capped() -> str:
+    from grandine_spark.functions.text import minhash_salt
+
+    s0, s1, s2, s3 = (minhash_salt(p) for p in range(4))
+    return f"""
+WITH {_SHINGLE_SQL},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+mh AS (
+  SELECT doc_id,
+         MIN(xor(h, {s0})) AS mh0, MIN(xor(h, {s1})) AS mh1,
+         MIN(xor(h, {s2})) AS mh2, MIN(xor(h, {s3})) AS mh3
+  FROM hs GROUP BY doc_id),
+buckets0 AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS bucket FROM mh),
+ok AS (SELECT bucket FROM buckets0 GROUP BY bucket HAVING COUNT(*) <= 3),
+buckets AS (SELECT buckets0.* FROM buckets0 JOIN ok USING (bucket))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 def _occ_sql(haystack: str, needle: str) -> str:
     n = needle.replace("'", "''")
     return (
@@ -1204,7 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_to_vector": q_raster_to_vector,
         "html_extract": q_html_extract,
         "dedup_exact": q_dedup_exact,
+        "dedup_pairs": q_dedup_pairs,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_capped": q_minhash_capped,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_near_dup": q_embed_near_dup,
@@ -1249,6 +1343,9 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*) AS n_docs FROM documents GROUP BY 1"
         ),
         "minhash_lsh": _oracle_minhash_lsh(),
+        "dedup_pairs": _oracle_dedup_pairs(),
+        "minhash_capped": _oracle_minhash_capped(),
+        "ngram_jaccard_capped": _oracle_ngram_jaccard_capped(),
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embed_near_dup": _oracle_embed_near_dup(),
