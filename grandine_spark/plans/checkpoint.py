@@ -1,8 +1,10 @@
 """Per-stage checkpointing with per-partition lineage and resume.
 
 North-rule machinery (BASELINE.json): every stage checkpoints to a warehouse
-table with lineage rows ``(stage, bucket, row_count, digest)`` so a killed run
-resumes mid-pipeline and completed work is verifiable.
+table with lineage rows ``(stage, bucket, key_min, key_max, row_count,
+digest)`` — the bucket's KEY RANGE (cell range when the key is a cell id),
+row count, and order/partitioning-independent content digest — so a killed
+run resumes mid-pipeline and completed work is verifiable.
 
 The warehouse is a directory of parquet tables + ``_LINEAGE`` sidecars +
 ``_STAGE_DONE`` markers. On a production cluster the same API maps 1:1 onto
@@ -56,9 +58,15 @@ class Warehouse:
         )
         bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
         return (
-            df.select(bucket.alias("bucket"), rowhash.alias("h"))
+            df.select(
+                bucket.alias("bucket"),
+                rowhash.alias("h"),
+                F.col(key_col).cast("string").alias("_k"),
+            )
             .groupBy("bucket")
             .agg(
+                F.min("_k").alias("key_min"),
+                F.max("_k").alias("key_max"),
                 F.count(F.lit(1)).alias("row_count"),
                 F.pmod(F.sum("h"), F.lit(_MOD)).alias("digest"),
             )
@@ -90,11 +98,12 @@ class Warehouse:
         """Recompute lineage of ``df`` and compare with the stored one —
         detects divergence between a resumed and a fresh run."""
         fresh = {
-            (r.bucket): (r.row_count, r.digest)
+            (r.bucket): (r.key_min, r.key_max, r.row_count, r.digest)
             for r in self._lineage(df, stage, key_col).collect()
         }
         stored = {
-            (r.bucket): (r.row_count, r.digest) for r in self.lineage(stage).collect()
+            (r.bucket): (r.key_min, r.key_max, r.row_count, r.digest)
+            for r in self.lineage(stage).collect()
         }
         return fresh == stored
 
