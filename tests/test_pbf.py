@@ -236,3 +236,48 @@ def test_features_from_pbf_to_tiles(spark, pbf_path):
     assert dict(rows[7].props) == {"highway": "primary", "name": "main st"}
     tiles = build_tiles(feats, [5]).collect()
     assert len(tiles) > 0 and all(len(bytes(t.tile)) > 0 for t in tiles)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2**40),
+            st.floats(-179, 179, allow_nan=False, width=32),
+            st.floats(-84, 84, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pbf_write_read_roundtrip_property(rows):
+    """Property: write_pbf → kernel decode recovers ids exactly and
+    coordinates to the nanodegree grid (≤0.5e-7 degrees)."""
+    import tempfile
+
+    from grandine_spark.sources.pbf import (
+        _read_blob_payload,
+        decode_primitive_block,
+        iter_blob_spans,
+        write_pbf,
+    )
+
+    nodes = [(i, lon, lat, {}) for i, lon, lat in rows]
+    path = tempfile.mktemp(suffix=".osm.pbf")
+    write_pbf(path, nodes, nodes_per_block=7)
+    got = {}
+    for btype, off, size in iter_blob_spans(path):
+        if btype != "OSMData":
+            continue
+        ns, _, _ = decode_primitive_block(_read_blob_payload(path, off, size))
+        for nid, lon, lat, _ in ns:
+            got[nid] = (lon, lat)
+    assert set(got) == {i for i, _, _ in rows}
+    for i, lon, lat in rows:
+        glon, glat = got[i]
+        assert abs(glon - lon) <= 5.1e-8 and abs(glat - lat) <= 5.1e-8

@@ -63,3 +63,31 @@ def test_polygon_roundtrip():
     ]
     gt, rings = decode(encode(3, poly, precision=3))
     assert gt == 3 and rings == poly
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-180, 180, allow_nan=False, width=32),
+            st.floats(-90, 90, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(0, 7),
+)
+def test_twkb_line_roundtrip_property(pts, precision):
+    """Property: encode→decode recovers every coordinate to the grid step
+    (delta coding must not accumulate error beyond quantization)."""
+    gt, out = decode(encode(2, [list(p) for p in pts], precision=precision))
+    assert gt == 2 and len(out) == len(pts)
+    # reference quantization TRUNCATES toward zero (int()), so the error
+    # bound is a full grid step, not half
+    step = 10.0 ** (-precision)
+    for (gx, gy), (wx, wy) in zip(out, pts):
+        assert abs(gx - wx) <= 1.01 * step and abs(gy - wy) <= 1.01 * step
