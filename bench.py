@@ -292,6 +292,25 @@ def main():
     )
     timed("ann_bruteforce", lambda: brute_force_topk(embs, q, k=10).count())
 
+    # quality metric alongside the speed metrics: the approximate path's
+    # recall@10 vs exact — an ANN benchmark without recall is half a number
+    from grandine_spark.operators.similarity import lsh_topk
+
+    dim = len(embs.select("embedding").first()[0])
+    exact = {
+        (r.q_id, r.vec_id) for r in brute_force_topk(embs, q, k=10).collect()
+    }
+    # NOTE: at this sf the corpus is small enough that brute force wins on
+    # wall clock — the bucketed plan's value is that it never goes all-pairs
+    # (the 10^12-row shape); recall is the metric that matters here
+    approx_rows = timed(
+        "ann_lsh",
+        lambda: lsh_topk(embs, q, dim=dim, k=10, n_tables=16, bits=4).collect(),
+        reps=2,
+    )
+    approx = {(r.q_id, r.vec_id) for r in approx_rows}
+    meta["ann_lsh_recall_at_10"] = round(len(exact & approx) / max(len(exact), 1), 3)
+
     # --- relational sanity ----------------------------------------------------
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(
