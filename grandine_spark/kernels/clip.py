@@ -363,6 +363,21 @@ def _ring_border_intersects(ring, bbox, eps: float = 1e-7) -> bool:
                 if segment_intersection(seg, border)[1]:
                     return True
         return False
+    a, b = p[:-1], p[1:]  # non-closing, like Line.Segments()
+    sxlo, sxhi = np.minimum(a[:, 0], b[:, 0]), np.maximum(a[:, 0], b[:, 0])
+    sylo, syhi = np.minimum(a[:, 1], b[:, 1]), np.maximum(a[:, 1], b[:, 1])
+    yov = (syhi >= miny - eps) & (sylo <= maxy + eps)
+    xov = (sxhi >= minx - eps) & (sxlo <= maxx + eps)
+    near_vx = ((sxlo <= minx + eps) & (sxhi >= minx - eps)) | (
+        (sxlo <= maxx + eps) & (sxhi >= maxx - eps)
+    )
+    near_hy = ((sylo <= miny + eps) & (syhi >= miny - eps)) | (
+        (sylo <= maxy + eps) & (syhi >= maxy - eps)
+    )
+    cand = np.flatnonzero((yov & near_vx) | (xov & near_hy))
+    if cand.size == 0:
+        return False
+    return _any_border_intersection_np(a[cand], b[cand], bbox)
 
 
 def _any_border_intersection_np(a: np.ndarray, b: np.ndarray, bbox) -> bool:
@@ -403,21 +418,6 @@ def _any_border_intersection_np(a: np.ndarray, b: np.ndarray, bbox) -> bool:
         & (ix >= blo_x) & (ix <= bhi_x) & (iy >= blo_y) & (iy <= bhi_y)
     )
     return bool(ok.any())
-    a, b = p[:-1], p[1:]  # non-closing, like Line.Segments()
-    sxlo, sxhi = np.minimum(a[:, 0], b[:, 0]), np.maximum(a[:, 0], b[:, 0])
-    sylo, syhi = np.minimum(a[:, 1], b[:, 1]), np.maximum(a[:, 1], b[:, 1])
-    yov = (syhi >= miny - eps) & (sylo <= maxy + eps)
-    xov = (sxhi >= minx - eps) & (sxlo <= maxx + eps)
-    near_vx = ((sxlo <= minx + eps) & (sxhi >= minx - eps)) | (
-        (sxlo <= maxx + eps) & (sxhi >= maxx - eps)
-    )
-    near_hy = ((sylo <= miny + eps) & (syhi >= miny - eps)) | (
-        (sylo <= maxy + eps) & (syhi >= maxy - eps)
-    )
-    cand = np.flatnonzero((yov & near_vx) | (xov & near_hy))
-    if cand.size == 0:
-        return False
-    return _any_border_intersection_np(a[cand], b[cand], bbox)
 
 
 def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:

@@ -241,7 +241,7 @@ def test_clip_polygon_pointwise_equivalence_convex(pts):
             st.floats(-5, 5, allow_nan=False, width=16),
         ),
         min_size=3,
-        max_size=12,
+        max_size=40,
     )
 )
 def test_ring_border_intersects_equals_exact(pts):
@@ -292,3 +292,39 @@ def test_clip_polygon_pointwise_equivalence_with_hole(x0, y0, s, fx, fy):
             )
             got = sum(_pt_in_ring(px, py, r) for r in rings) % 2 == 1
             assert got == want, (px, py, x0, y0, s, fx, fy)
+
+
+def test_large_ring_border_intersects_vectorized_branch():
+    """Regression: rings with >24 points must take the vectorized branch of
+    _ring_border_intersects (previously fell off the end and returned None,
+    so clip_polygon emitted the full bbox rectangle for any large polygon
+    only partially covering the tile)."""
+    from grandine_spark.kernels.clip import _bbox_borders, _ring_border_intersects
+    from grandine_spark.kernels.geometry import line_intersections
+
+    # 30-vertex star centered at origin, radius alternating 0.5 / 2.0 —
+    # crosses the (-1,-1,1,1) bbox border many times.
+    ang = np.linspace(0, 2 * np.pi, 31)[:-1]
+    rad = np.where(np.arange(30) % 2 == 0, 2.0, 0.5)
+    star = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=1)
+    star = np.vstack([star, star[:1]])
+    bbox = (-1.0, -1.0, 1.0, 1.0)
+    assert len(star) > 24
+    got = _ring_border_intersects(star, bbox)
+    assert got is True  # not None — the branch must exist and agree with exact
+    assert got == bool(line_intersections(star, _bbox_borders(bbox)))
+
+    # And clip must NOT be the full rectangle: area of clipped pieces must be
+    # strictly less than the bbox area (the star covers only part of the tile).
+    from grandine_spark.kernels.geometry import ring_area2
+
+    out = clip_polygon([star], bbox)
+    total = sum(abs(ring_area2(p[0])) / 2.0 for p in out)
+    assert 0.0 < total < 3.9, total  # bbox area is 4.0
+
+    # A large ring fully containing the bbox still yields the rectangle.
+    big = np.stack([10 * np.cos(ang), 10 * np.sin(ang)], axis=1)
+    big = np.vstack([big, big[:1]])
+    out2 = clip_polygon([big], bbox)
+    assert len(out2) == 1
+    assert abs(abs(ring_area2(out2[0][0])) / 2.0 - 4.0) < 1e-9
