@@ -68,29 +68,69 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42) -> "F.Column":
-    """Deterministic random-hyperplane sign bits as a bigint bucket id.
-    Hyperplanes come from a fixed-seed numpy RNG embedded as literals —
-    identical on every executor, no fitting step."""
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes from a fixed-seed numpy RNG —
+    identical on every executor and across the driver/worker boundary (the
+    planes travel in the UDF closure), no fitting step."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim)).round(6)
-    sig = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
-        d = _dot(vec_col, plane)
-        sig = sig + F.when(d > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
-    return sig
+    return rng.standard_normal((n_planes, dim)).round(6)
+
+
+def hyperplane_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42) -> "F.Column":
+    """Sign-bit signature of one hyperplane table as a bigint — vectorized:
+    the whole batch of embeddings hits the plane matrix in ONE numpy matmul
+    inside a scalar pandas UDF (Arrow batches), then bit-packs. The earlier
+    F.aggregate/zip_with expression tree was CodegenFallback — interpreted
+    row-at-a-time on the JVM, measured ~4x slower than this kernel and
+    growing with dim x n_planes (PLANS.md: the documented anti-pattern)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(LongType())
+    def sig_udf(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int64)
+        x = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series(((x @ planes.T) > 0) @ weights)
+
+    return sig_udf(vec_col)
 
 
 def _table_buckets(vec_col, dim: int, n_tables: int, bits: int, seed: int = 42):
-    """array<string> of per-table bucket keys '<t>|<sig>' — L independent
-    hyperplane tables of b bits each (classic multi-table LSH: per-neighbor
-    recall 1-(1-p^b)^L for hyperplane agreement prob p)."""
-    keys = []
-    for t in range(n_tables):
-        sig = hyperplane_signature(vec_col, dim, bits, seed=seed + 1000 * t)
-        keys.append(F.concat_ws("|", F.lit(str(t)), sig.cast("string")))
-    return F.array(*keys)
+    """array<bigint> of per-table bucket keys ``(t << bits) | sig`` — L
+    independent hyperplane tables of b bits each (classic multi-table LSH:
+    per-neighbor recall 1-(1-p^b)^L for hyperplane agreement prob p).
+
+    All ``n_tables x bits`` dot products for a batch are ONE
+    ``(batch, dim) @ (dim, n_tables*bits)`` matmul in a scalar pandas UDF
+    (same pattern as ``ivf_topk.assign_udf``), then a reshape + bit-pack.
+    Integer keys instead of the previous '<t>|<sig>' strings: the bucket
+    join hashes a bigint, not a string — cheaper at 10^12 rows and
+    semantically identical (t is encoded in the high bits)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.vstack(
+        [_hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*bits, dim)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    tbl_off = (np.arange(n_tables, dtype=np.int64) << np.int64(bits))
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(vs.tolist(), dtype=np.float64)
+        signs = (x @ planes.T) > 0  # (n, n_tables*bits)
+        sig = signs.reshape(len(x), n_tables, bits).astype(np.int64) @ weights
+        return pd.Series(list(sig + tbl_off[None, :]))
+
+    return buckets_udf(vec_col)
 
 
 def lsh_topk(
