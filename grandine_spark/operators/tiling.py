@@ -275,7 +275,12 @@ def build_tiles(
         # exchange when AQE re-coalesces; memory safety wins.
         from pyspark.sql import Window
 
-        w = Window.partitionBy("tile_z", "tile_x", "tile_y").orderBy("feature_id")
+        # layer_name tie-break: the same feature_id can appear once per
+        # routed layer, and a feature_id-only sort would make which copy
+        # survives the cap run-dependent.
+        w = Window.partitionBy("tile_z", "tile_x", "tile_y").orderBy(
+            "feature_id", "layer_name"
+        )
         all_cov = (
             all_cov.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_features_per_tile)

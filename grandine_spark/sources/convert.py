@@ -61,9 +61,13 @@ def convert(
     rules: list[MappingRule] | None = None,
 ) -> int:
     """Multi-input concat + mapping + single-output write. Returns feature
-    count. Output codec by extension: .parquet (engine-native), .geojsonseq
-    (distributed), .geojson / .spaten (driver-side assemble — bulk encoders,
-    like the reference's non-chunked path)."""
+    count. Output codec by extension: .parquet (engine-native); .geojsonseq /
+    .geojson / .spaten are single-file formats, so they encode DISTRIBUTED
+    (mapInPandas / write.text on executors) and the driver only streams
+    finished text lines or spaten block bytes into the output file — bounded
+    memory, never a collect of the feature set (the reference's converter is
+    single-process, cmd/converter/converter.go:201-218; this is its
+    cluster-safe equivalent)."""
     dfs = [read_any(spark, p) for p in in_paths]
     df = dfs[0]
     for d in dfs[1:]:
@@ -76,34 +80,113 @@ def convert(
         df.write.mode("overwrite").parquet(out_path)
         return spark.read.parquet(out_path).count()
     if ext == ".geojsonseq":
-        out = features_to_geojson(df)
-        rows = out.select("geojson").rdd.map(lambda r: "\x1e" + r.geojson).collect()
-        with open(out_path, "w") as f:
-            f.writelines(x + "\n" for x in rows)
-        return len(rows)
+        # RS-prefixed lines, encoded executor-side; the single output file is
+        # assembled by a bounded-buffer concat of the distributed part files.
+        out = features_to_geojson(df).select(
+            F.concat(F.lit("\x1e"), F.col("geojson")).alias("value")
+        )
+        return _concat_text_parts(out, out_path)
     if ext == ".geojson":
-        rows = features_to_geojson(df).select("geojson").collect()
-        fc = {
-            "type": "FeatureCollection",
-            "features": [json.loads(r.geojson) for r in rows],
-        }
-        with open(out_path, "w") as f:
-            json.dump(fc, f)
-        return len(rows)
+        return _concat_text_parts(
+            features_to_geojson(df),
+            out_path,
+            prelude='{"type": "FeatureCollection", "features": [',
+            sep=",",
+            postlude="]}",
+            strip_newline=True,
+        )
     if ext == ".spaten":
-        feats = [
-            {
-                "geom_type": int(r.geom_type),
-                "wkb": bytes(r.wkb),
-                "bbox": (r.minx, r.miny, r.maxx, r.maxy),
-                "props": dict(r.props or {}),
-            }
-            for r in df.collect()
-        ]
+        blocks = _encode_spaten_blocks(df)
+        n = 0
         with open(out_path, "wb") as f:
-            f.write(spaten_codec.write_blocks(feats, meta={"@srid": "4326"}))
-        return len(feats)
+            f.write(spaten_codec.file_header())
+            # toLocalIterator: one partition of finished block BYTES on the
+            # driver at a time — never the decoded feature set.
+            for r in blocks.toLocalIterator():
+                f.write(bytes(r.block))
+                n += int(r.n)
+            if n == 0:  # bulk-encoder parity: an empty file still carries a
+                f.write(spaten_codec.encode_block([], _SPATEN_META))  # meta block
+        return n
     raise ValueError(f"output type {ext} not supported")
+
+
+_SPATEN_META = {"@srid": "4326"}
+
+
+def _concat_text_parts(
+    df: DataFrame,
+    out_path: str,
+    prelude: str = "",
+    sep: str = "",
+    postlude: str = "",
+    strip_newline: bool = False,
+) -> int:
+    """Distributed text encode → single file: executors write part files via
+    ``df.write.text``, the driver streams them line-by-line into ``out_path``
+    (memory bounded by one line). Returns the line count."""
+    import shutil
+
+    tmp = out_path + "._parts"
+    df.write.mode("overwrite").text(tmp)
+    n = 0
+    try:
+        with open(out_path, "w") as f:
+            f.write(prelude)
+            for name in sorted(os.listdir(tmp)):
+                if not name.startswith("part-"):
+                    continue
+                with open(os.path.join(tmp, name)) as pf:
+                    for line in pf:
+                        if n and sep:
+                            f.write(sep)
+                        f.write(line.rstrip("\n") if strip_newline else line)
+                        n += 1
+            f.write(postlude)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
+def _encode_spaten_blocks(df: DataFrame) -> DataFrame:
+    """Executor-side Spaten block encode: each Arrow batch becomes blocks of
+    ≤ BLOCK_SIZE features (the reference's chunked writer unit,
+    fileformat/spaten/lowlevel.go block framing). Block boundaries follow the
+    input partitioning, which any conformant reader accepts."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                {
+                    "geom_type": int(r.geom_type),
+                    "wkb": bytes(r.wkb),
+                    "bbox": (r.minx, r.miny, r.maxx, r.maxy),
+                    "props": dict(r.props or {}),
+                }
+                for r in pdf.itertuples()
+            ]
+            for off in range(0, len(feats), spaten_codec.BLOCK_SIZE):
+                chunk = feats[off : off + spaten_codec.BLOCK_SIZE]
+                yield pd.DataFrame(
+                    {
+                        "block": [spaten_codec.encode_block(chunk, _SPATEN_META)],
+                        "n": [len(chunk)],
+                    }
+                )
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("block", T.BinaryType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+    )
 
 
 def inspect_features(df: DataFrame, n: int = 20) -> str:

@@ -85,6 +85,26 @@ def encode_feature(geom_type: int, wkb: bytes, bbox, props: dict) -> bytes:
     return bytes(out)
 
 
+def encode_block(features: list[dict], meta: dict | None = None) -> bytes:
+    """One block (8-byte block header + body) holding the given features —
+    the unit ``write_blocks`` emits per BLOCK_SIZE chunk. Exposed separately
+    so distributed writers can encode blocks executor-side and only stream
+    finished block bytes through the driver."""
+    body = bytearray()
+    meta_body = b"".join(
+        pw.ld(1, _encode_tag(k, v)) for k, v in sorted((meta or {}).items())
+    )
+    body += pw.ld(1, meta_body)
+    for ft in features:
+        body += pw.ld(
+            2,
+            encode_feature(
+                ft["geom_type"], ft["wkb"], ft.get("bbox"), ft.get("props", {})
+            ),
+        )
+    return struct.pack("<IHBB", len(body), 0, 0, 0) + bytes(body)
+
+
 def write_blocks(features: list[dict], meta: dict | None = None) -> bytes:
     """features: dicts {geom_type, wkb, bbox, props}. Returns full file bytes."""
     out = bytearray(file_header())
@@ -92,20 +112,7 @@ def write_blocks(features: list[dict], meta: dict | None = None) -> bytes:
         chunk = features[off : off + BLOCK_SIZE]
         if not chunk and off > 0:
             break
-        body = bytearray()
-        meta_body = b"".join(
-            pw.ld(1, _encode_tag(k, v)) for k, v in sorted((meta or {}).items())
-        )
-        body += pw.ld(1, meta_body)
-        for ft in chunk:
-            body += pw.ld(
-                2,
-                encode_feature(
-                    ft["geom_type"], ft["wkb"], ft.get("bbox"), ft.get("props", {})
-                ),
-            )
-        block_header = struct.pack("<IHBB", len(body), 0, 0, 0)
-        out += block_header + bytes(body)
+        out += encode_block(chunk, meta)
     return bytes(out)
 
 

@@ -33,10 +33,6 @@ def _norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 2**52:
-            # driver-style: float64 that came from an int column still renders
-            # with a fractional part in pandas; keep that visible
-            return f"{v:.6f}"
         return f"{v:.6f}"
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()

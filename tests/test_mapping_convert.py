@@ -148,6 +148,54 @@ def test_convert_roundtrip_geojson_spaten_parquet(spark, tmp_path):
     assert len(fc["features"]) == 2 * n_in
 
 
+def test_convert_sinks_never_collect_on_driver(spark, tmp_path, monkeypatch):
+    """The single-file sinks (.geojsonseq / .geojson / .spaten) must encode
+    executor-side and only stream finished lines/blocks through the driver —
+    a collect() of the feature set is the driver-OOM anti-pattern the
+    reference's single-process converter allowed (converter.go:201-218)."""
+    import pyspark.sql as psql
+
+    src = f"{FIX}/featurecollection.geojson"
+    n_in = read_any(spark, src).count()
+    src_pq = str(tmp_path / "src.parquet")
+    # multi-partition input so part-file ordering/concat is exercised
+    read_any(spark, src).repartition(4).write.parquet(src_pq)
+
+    def boom(self):
+        raise AssertionError("driver-side collect() in a converter sink")
+
+    monkeypatch.setattr(psql.DataFrame, "collect", boom)
+    out_seq = str(tmp_path / "out.geojsonseq")
+    out_gj = str(tmp_path / "out.geojson")
+    out_sp = str(tmp_path / "out.spaten")
+    assert convert(spark, [src_pq], out_seq) == n_in
+    assert convert(spark, [src_pq], out_gj) == n_in
+    assert convert(spark, [src_pq], out_sp) == n_in
+    monkeypatch.undo()
+
+    # and the outputs round-trip
+    with open(out_seq) as f:
+        lines = [x for x in f.read().split("\n") if x]
+    assert len(lines) == n_in and all(x.startswith("\x1e") for x in lines)
+    with open(out_gj) as f:
+        fc = json.load(f)
+    assert len(fc["features"]) == n_in
+    assert read_any(spark, out_sp).count() == n_in
+
+
+def test_convert_empty_spaten_sink(spark, tmp_path):
+    from grandine_spark.sources import spaten as spaten_codec
+
+    src = f"{FIX}/featurecollection.geojson"
+    empty = read_any(spark, src).limit(0)
+    src_pq = str(tmp_path / "empty.parquet")
+    empty.write.parquet(src_pq)
+    out_sp = str(tmp_path / "empty.spaten")
+    assert convert(spark, [src_pq], out_sp) == 0
+    with open(out_sp, "rb") as f:
+        assert spaten_codec.read_features(f.read()) == []
+
+
 def test_geojson_encode_closes_rings(spark):
     from grandine_spark.sources.geojson import read_geojson
 
