@@ -518,6 +518,58 @@ def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point FEATURE rows from the documents-derived points — WKB encoded
+    executor-side (mapInPandas), so the derivation itself scales."""
+    import pandas as pd
+
+    from grandine_spark.kernels.wkb import to_wkb
+    from grandine_spark.sources.synth import FEATURE_SCHEMA
+
+    pts = _points(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "feature_id": pdf["doc_id"],
+                    "layer": "poi",
+                    "geom_type": 1,
+                    "wkb": [
+                        to_wkb(1, (float(lon), float(lat)))
+                        for lon, lat in zip(pdf["lon"], pdf["lat"])
+                    ],
+                    "minx": pdf["lon"],
+                    "miny": pdf["lat"],
+                    "maxx": pdf["lon"],
+                    "maxy": pdf["lat"],
+                    "zoom_min": 0,
+                    "zoom_max": 99,
+                    "props": [{} for _ in range(len(pdf))],
+                }
+            )
+
+    return pts.mapInPandas(enc, FEATURE_SCHEMA)
+
+
+def q_tiles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiler's SQL-derivable face: the SAME build_tiles DAG as `tiles`
+    (coverage explode → shuffle → batched encode UDF), but over
+    parquet-derived point features, returning the per-tile metadata columns
+    (z, x, y, n_features) DuckDB can reproduce via the floor-cell count
+    semantics already oracle-checked in `cell_counts`. The binary MVT bytes
+    stay in `tiles` (rows-only, sha cross-checked in tests)."""
+    from grandine_spark.operators.tiling import build_tiles
+
+    t = build_tiles(_point_features(spark, sf_dir), [7])
+    return t.select(
+        "tile_z",
+        "tile_x",
+        "tile_y",
+        F.col("n_features").cast("long").alias("n_features"),
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary blobs (documents text as the stand-in
     media column): 4 deterministic 16-byte frames per doc via mapInPandas."""
@@ -759,6 +811,14 @@ def _oracle_cell_counts() -> str:
     return (
         f"WITH pts AS ({_POINTS_SQL}) SELECT {tx} AS tile_x, {ty} AS tile_y,"
         " COUNT(*) AS n FROM pts GROUP BY 1, 2"
+    )
+
+
+def _oracle_tiles_meta() -> str:
+    tx, ty = _tile_sql("lon", "lat", 7)
+    return (
+        f"WITH pts AS ({_POINTS_SQL}) SELECT 7 AS tile_z, {tx} AS tile_x,"
+        f" {ty} AS tile_y, COUNT(*) AS n_features FROM pts GROUP BY 1, 2, 3"
     )
 
 
@@ -1286,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_index": q_tile_index,
         "cell_counts": q_cell_counts,
         "cell_downsample": q_cell_downsample,
+        "tiles_meta": q_tiles_meta,
         "coverage": q_coverage,
         "rasterize_areas": q_rasterize_areas,
         "spatial_join": q_spatial_join,
@@ -1330,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_index": _oracle_tile_index(),
         "cell_counts": _oracle_cell_counts(),
         "cell_downsample": _oracle_cell_downsample(),
+        "tiles_meta": _oracle_tiles_meta(),
         "coverage": _oracle_coverage(),
         "rasterize_areas": _oracle_rasterize_areas(),
         "html_extract": _oracle_html_extract(),

@@ -279,12 +279,34 @@ def main():
     from grandine_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
     from grandine_spark.operators.similarity import brute_force_topk
 
+    from grandine_spark.operators.dedup import (
+        dedup_exact_pairs,
+        ngram_jaccard_pairs,
+        simhash_buckets,
+    )
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_exact", lambda: dedup_exact(docs).count())
+    # corpus has no exact dupes → induce 2x groups (as the oracle query does)
+    # so the window-min plan processes real duplicate groups
+    half = max(docs.count() // 2, 1)
+    dup_docs = docs.select(
+        "doc_id", (F.col("doc_id") % half).alias("src")
+    ).join(docs.select(F.col("doc_id").alias("src"), "text"), "src")
+    timed("dedup_pairs", lambda: dedup_exact_pairs(dup_docs).count())
     timed(
         "minhash_lsh",
         lambda: minhash_lsh_pairs(docs, n_perm=8, band_size=2).count(),
     )
+    # the r2 skew-guard paths, timed so they can't silently regress: df-cap
+    # before the shingle self-join, and the explode-based simhash
+    timed(
+        "ngram_jaccard_capped",
+        lambda: ngram_jaccard_pairs(
+            docs, shingle_k=3, threshold=0.5, max_shingle_freq=50
+        ).count(),
+    )
+    timed("simhash", lambda: simhash_buckets(docs).count())
 
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = embs.filter(F.col("vec_id") < 3).select(

@@ -327,6 +327,17 @@ def tile_assignments(points: DataFrame, zooms: list[int], id_col: str = "url") -
     return df
 
 
+def write_tiles(
+    tiles: DataFrame, dest: str, ext: str = "mvt", s3_endpoint: str | None = None
+) -> int:
+    """Tile sink dispatch on the destination scheme — ``s3://bucket/prefix``
+    object store or a local directory (the reference's two sinks,
+    cmd/tiler/tiler.go:269-294 and cmd/tiler/s3.go:28-56)."""
+    if dest.startswith("s3://"):
+        return write_tiles_s3(tiles, dest, ext=ext, endpoint=s3_endpoint)
+    return write_tiles_directory(tiles, dest, ext=ext)
+
+
 def write_tiles_directory(tiles: DataFrame, out_dir: str, ext: str = "mvt") -> int:
     """{out}/{z}/{x}/{y}.{ext} disk sink (cmd/tiler/tiler.go:269-294),
     executed distributed via foreachPartition."""
@@ -340,4 +351,66 @@ def write_tiles_directory(tiles: DataFrame, out_dir: str, ext: str = "mvt") -> i
                 f.write(bytes(r.tile))
 
     tiles.foreachPartition(write_part)
+    return 0
+
+
+def write_tiles_s3(
+    tiles: DataFrame, dest: str, ext: str = "mvt", endpoint: str | None = None
+) -> int:
+    """``s3://bucket/prefix`` object-store sink (cmd/tiler/s3.go:28-56 —
+    the reference PUTs one object per tile via a minio client): one REST
+    ``PUT /bucket/key`` per tile, issued EXECUTOR-side per partition over a
+    pooled HTTP connection, key layout ``{prefix}/{z}/{x}/{y}.{ext}``.
+
+    ``endpoint`` (or ``$GS_S3_ENDPOINT``) names the S3-compatible REST
+    endpoint. Requests are unsigned, matching an anonymous-write bucket
+    policy (e.g. minio in a private VPC); a production deployment signs the
+    requests or writes through the s3a committer instead. The test suite
+    drives this path against an in-process HTTP fake."""
+    import os
+    from urllib.parse import urlparse
+
+    u = urlparse(dest)
+    bucket, prefix = u.netloc, u.path.strip("/")
+    if endpoint is None:
+        endpoint = os.environ.get("GS_S3_ENDPOINT", "")
+    if not endpoint:
+        raise ValueError("S3 tile sink needs endpoint= or $GS_S3_ENDPOINT")
+
+    def put_part(rows):
+        import http.client
+        from urllib.parse import urlparse as parse
+
+        e = parse(endpoint)
+        cls = (
+            http.client.HTTPSConnection
+            if e.scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = cls(e.netloc)
+        try:
+            for r in rows:
+                key = "/".join(
+                    x
+                    for x in (prefix, str(r.tile_z), str(r.tile_x), f"{r.tile_y}.{ext}")
+                    if x
+                )
+                body = bytes(r.tile)
+                conn.request(
+                    "PUT",
+                    f"/{bucket}/{key}",
+                    body=body,
+                    headers={
+                        "Content-Type": "application/vnd.mapbox-vector-tile",
+                        "Content-Length": str(len(body)),
+                    },
+                )
+                resp = conn.getresponse()
+                resp.read()
+                if resp.status >= 300:
+                    raise IOError(f"PUT {bucket}/{key}: HTTP {resp.status}")
+        finally:
+            conn.close()
+
+    tiles.foreachPartition(put_part)
     return 0

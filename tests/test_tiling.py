@@ -87,3 +87,46 @@ def test_write_tiles_directory(spark, features_df, tmp_path):
     files = glob.glob(os.path.join(str(tmp_path), "2", "*", "*.mvt"))
     assert len(files) == tiles.count()
     assert all(os.path.getsize(f) > 0 for f in files)
+
+
+def test_write_tiles_s3(spark, features_df, tmp_path):
+    """S12: drive the s3:// sink end-to-end against an in-process S3-fake
+    (PUT /bucket/key). Objects must match the disk sink byte-for-byte."""
+    import http.server
+    import threading
+
+    store: dict[str, bytes] = {}
+    lock = threading.Lock()
+
+    class Fake(http.server.BaseHTTPRequestHandler):
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                store[self.path] = body
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Fake)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from grandine_spark.operators.tiling import write_tiles
+
+        tiles = build_tiles(features_df, [2])
+        write_tiles(
+            tiles,
+            "s3://tilebucket/basemap",
+            ext="mvt",
+            s3_endpoint=f"http://127.0.0.1:{srv.server_address[1]}",
+        )
+        expect = {
+            f"/tilebucket/basemap/{r.tile_z}/{r.tile_x}/{r.tile_y}.mvt": bytes(r.tile)
+            for r in tiles.collect()
+        }
+        assert store == expect
+    finally:
+        srv.shutdown()
+        srv.server_close()
