@@ -36,6 +36,38 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_vec(a_col, b_col):
+    """Batch cosine as ONE Arrow-batched numpy kernel — the candidate-scoring
+    stage's hot path. The `cosine_expr` HOF tree is CodegenFallback
+    (interpreted per element on the JVM; cost grows with candidates x dim),
+    while this is a single (n, dim) row-wise dot per batch.
+
+    Numeric parity with `cosine_expr` (and the DuckDB oracles): for
+    dim <= 128, numpy's reduction is sequential left-to-right — the same
+    fold order as F.aggregate — so the doubles are bit-identical. (numpy
+    switches to pairwise summation above 128 elements; at larger dims the
+    results differ in the last ulp and ties could rank differently.)
+
+    asNondeterministic pins a single evaluation: the score feeds both a
+    filter and a projection, and Catalyst clones deterministic UDF calls
+    into both operators (the tiling encoder's measured 2x-eval trap)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos_udf(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        xa = np.array(a.tolist(), dtype=np.float64)
+        xb = np.array(b.tolist(), dtype=np.float64)
+        num = np.sum(xa * xb, axis=1)
+        den = np.sqrt(np.sum(xa * xa, axis=1)) * np.sqrt(np.sum(xb * xb, axis=1))
+        return pd.Series(num / den)
+
+    return cos_udf.asNondeterministic()(a_col, b_col)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -56,7 +88,7 @@ def brute_force_topk(
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+        cosine_vec(F.col(vec_col), F.col("q_vec")).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -162,7 +194,7 @@ def lsh_topk(
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+        cosine_vec(F.col(vec_col), F.col("q_vec")).alias("cosine"),
     ).dropDuplicates([q_id_col, id_col])
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -216,7 +248,7 @@ def embedding_near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     return (
-        pairs.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        pairs.withColumn("cosine", cosine_vec(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -313,7 +345,7 @@ def ivf_topk(
     scored = cand.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine_expr(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        cosine_vec(F.col(vec_col), F.col("_qvec")).alias("cosine"),
     ).dropDuplicates([q_id_col, id_col])
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
