@@ -112,25 +112,38 @@ def knn(
         kk = min(k, total)
         if kk == 0:
             continue
-        cand_ix = _candidate_cells(
+        cand_ix, dist_ub = _candidate_cells(
             lon, lat, kk, cx_arr, cy_arr, cnt_arr,
             west, east, lat_n, lat_s, cos_min, cos_max,
         )
         probe_rows += [
-            (r._qid, lon, lat, int(cx_arr[i]), int(cy_arr[i])) for i in cand_ix
+            (r._qid, lon, lat, int(cx_arr[i]), int(cy_arr[i]), dist_ub)
+            for i in cand_ix
         ]
 
     probe = spark.createDataFrame(
-        probe_rows, "_qid long, q_lon double, q_lat double, p_cx long, p_cy long"
+        probe_rows,
+        "_qid long, q_lon double, q_lat double, p_cx long, p_cy long, q_d double",
     )
 
-    # job 2: the one probe join + per-query top-k
-    cand = F.broadcast(probe).join(pts, ["p_cx", "p_cy"]).select(
-        "_qid",
-        "_pid",
-        TX.haversine_m(
-            F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
-        ).alias("dist_m"),
+    # job 2: the one probe join + per-query top-k. The planner's D is a
+    # PROVEN upper bound on the k-th neighbor distance (≥ k points lie
+    # within it), so candidates beyond D can be dropped before the top-k
+    # window — candidate cells cover the D-ball loosely, and this trims the
+    # window's sort input to the ball itself.
+    cand = (
+        F.broadcast(probe)
+        .join(pts, ["p_cx", "p_cy"])
+        .select(
+            "_qid",
+            "_pid",
+            "q_d",
+            TX.haversine_m(
+                F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
+            ).alias("dist_m"),
+        )
+        .filter(F.col("dist_m") <= F.col("q_d"))
+        .drop("q_d")
     )
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_pid").asc())
     topk = (
@@ -166,9 +179,10 @@ def _candidate_cells(
     lat_s: np.ndarray,
     cos_min: np.ndarray,
     cos_max: np.ndarray,
-) -> np.ndarray:
+) -> tuple[np.ndarray, float]:
     """Indices of cells provably containing the k nearest points of
-    (lon, lat), via decomposed-haversine lower/upper bounds per cell.
+    (lon, lat) plus the proven k-th-distance upper bound D (metres),
+    via decomposed-haversine lower/upper bounds per cell.
 
     hav(d) = sin²(Δφ/2) + cosφ_q · cosφ_p · sin²(Δλ/2). Each bound fixes
     the two terms at their extreme over the cell independently — an over-
@@ -208,8 +222,8 @@ def _candidate_cells(
     order = np.argsort(ub, kind="stable")
     csum = cnt[order].cumsum()
     kth_pos = int(np.searchsorted(csum, k))
-    D = ub[order[kth_pos]]
-    return np.flatnonzero(lb <= D)
+    D = float(ub[order[kth_pos]])
+    return np.flatnonzero(lb <= D), D
 
 
 def _lon_inside(lon: float, west: np.ndarray, east: np.ndarray) -> np.ndarray:

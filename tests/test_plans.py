@@ -97,6 +97,33 @@ def test_dedup_pairs_single_exchange_no_broadcast(spark, tmp_path):
     assert len(set(re.findall(r"\bExchange \(\d+\)", plan))) == 1
 
 
+def test_lsh_topk_scoring_is_arrow_not_hof(spark, tmp_path):
+    """ANN plans: bucket signatures AND the cosine re-rank are Arrow
+    kernels — no interpreted higher-order-function (CodegenFallback)
+    `aggregate(...)` trees anywhere, and the bucket join stays a join on a
+    bigint key (never a cross product)."""
+    from grandine_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    p = str(tmp_path / "embs")
+    spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(p)
+    embs = spark.read.parquet(p)
+    q = embs.limit(2).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    plan = plan_of(lsh_topk(embs, q, dim=8, k=3, n_tables=4, bits=3))
+    assert "aggregate(" not in plan  # the HOF tree never reappears
+    # two signature stages (vectors + queries) + one scoring stage
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 3
+    assert "CartesianProduct" not in plan
+
+    # brute force: the scoring stage is the single Arrow node
+    plan_bf = plan_of(brute_force_topk(embs, q, k=3))
+    assert "aggregate(" not in plan_bf
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan_bf))) == 1
+
+
 def test_spatial_join_guard_takes_shuffle_plan(spark, pages_path):
     """With the dim guard tripped, the plan must be the shuffle path: no
     driver-built dim (no full_inside column), geometry rides as wkb."""
