@@ -263,6 +263,19 @@ def build_tiles(
     for p in per_zoom[1:]:
         all_cov = all_cov.unionByName(p)
 
+    # Pin the tile shuffle's partition count (REPARTITION_BY_NUM): AQE
+    # coalesces post-shuffle partitions by BYTE size, and tile groups are
+    # tiny on the wire but expensive in Python — measured 3 of 32 cores
+    # encoding (the whole encode stage at ~10% parallelism) because ~3 MB
+    # of shuffle bytes coalesced into 3 partitions. The explicit hash
+    # repartition on the group keys satisfies both the cap-window's and the
+    # groupBy's required distribution, so the plan still has exactly ONE
+    # exchange — now at full width.
+    n_shuffle = int(
+        all_cov.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    all_cov = all_cov.repartition(n_shuffle, "tile_z", "tile_x", "tile_y")
+
     if max_features_per_tile is not None:
         # hot-tile cap: a tile group must fit ONE task (MVT dictionaries are
         # order-sensitive, so groups cannot be split — SURVEY.md §7); without
