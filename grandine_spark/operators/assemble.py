@@ -43,6 +43,18 @@ ASSEMBLED_SCHEMA = T.StructType(
 )
 
 
+def _pin_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin the shuffle width of a group feeding a Python finalize stage.
+    AQE coalesces post-shuffle partitions by BYTE size; assembly groups are
+    compact on the wire but cost Python per row (winding, WKB encode), so
+    byte-based coalescing starves the mapInPandas stage of parallelism
+    (measured 3/32 cores on the analogous tile-encode shuffle — PLANS.md).
+    An explicit keyed repartition compiles to the same single exchange,
+    tagged REPARTITION_BY_NUM, which AQE must leave at full width."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *keys)
+
+
 def resolve_way_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """ways(way_id, node_ids array<bigint>, props) × nodes(node_id, lon, lat)
     → (way_id, coords array<struct<x,y>>, props) with node order preserved.
@@ -52,7 +64,8 @@ def resolve_way_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     resolved = member.join(nodes, "node_id", "inner")
     return (
-        resolved.groupBy("way_id")
+        _pin_width(resolved, "way_id")
+        .groupBy("way_id")
         .agg(
             F.first("props").alias("props"),
             F.array_sort(
@@ -124,7 +137,7 @@ def assemble_multipolygons(
         F.col("m.roles").alias("role"),
     )
     resolved = member.join(resolve_way_coords(ways, nodes).drop("props"), "way_id")
-    grouped = resolved.groupBy("rel_id").agg(
+    grouped = _pin_width(resolved, "rel_id").groupBy("rel_id").agg(
         F.first("props").alias("props"),
         F.array_sort(
             F.collect_list(F.struct(F.col("role"), F.col("way_id"), F.col("coords")))
