@@ -42,11 +42,15 @@ def cosine_vec(a_col, b_col):
     (interpreted per element on the JVM; cost grows with candidates x dim),
     while this is a single (n, dim) row-wise dot per batch.
 
-    Numeric parity with `cosine_expr` (and the DuckDB oracles): for
-    dim <= 128, numpy's reduction is sequential left-to-right — the same
-    fold order as F.aggregate — so the doubles are bit-identical. (numpy
-    switches to pairwise summation above 128 elements; at larger dims the
-    results differ in the last ulp and ties could rank differently.)
+    Numeric parity with `cosine_expr` (and the DuckDB oracles): numpy's
+    reduction is unrolled/pairwise even at small dims, so the doubles can
+    differ from F.aggregate's strict left-to-right fold in the last ulps
+    (measured ~1e-16 relative). That is within the engine's numeric
+    contract: every oracle-facing query rounds cosine to 6 dp before
+    output, and top-k windows break ties on (cosine DESC, id ASC), so a
+    sub-ulp score difference cannot change any oracle-checked result.
+    DuckDB's own list summation order differs from BOTH folds, which is
+    why the contract is round-6 parity rather than bit identity.
 
     asNondeterministic pins a single evaluation: the score feeds both a
     filter and a projection, and Catalyst clones deterministic UDF calls

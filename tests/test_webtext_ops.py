@@ -107,6 +107,42 @@ def test_brute_force_topk(spark, embs):
         assert q not in {x[1] for x in lst}  # self excluded
 
 
+def test_cosine_vec_round6_parity_with_hof(spark):
+    """cosine_vec (the Arrow scoring kernel) must agree with the
+    cosine_expr HOF fold within the engine's numeric contract: every
+    oracle-facing query rounds cosine to 6 dp before output, so the two
+    paths must be round-6 identical and within a few ulps raw. (They are
+    NOT bit-identical — numpy's reduction is unrolled/pairwise even at
+    dim 8, unlike F.aggregate's strict left fold; measured ~1e-16
+    relative.) Exercised per-dim (homogeneous batches, as in real use)
+    at the engine's dim (64) and neighbors, on adversarial values with
+    a large magnitude spread so summation order actually matters."""
+    import math
+
+    from grandine_spark.operators.similarity import cosine_expr, cosine_vec
+
+    rng = __import__("numpy").random.default_rng(7)
+    for dim in (8, 64, 128):
+        rows = []
+        for i in range(40):
+            a = (rng.standard_normal(dim) * 10.0 ** rng.integers(-6, 7, dim)).tolist()
+            b = (rng.standard_normal(dim) * 10.0 ** rng.integers(-6, 7, dim)).tolist()
+            rows.append((i, a, b))
+        df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+        out = df.select(
+            cosine_expr(F.col("a"), F.col("b")).alias("hof"),
+            cosine_vec(F.col("a"), F.col("b")).alias("vec"),
+        ).collect()
+        assert len(out) == 40
+        for r in out:
+            assert round(r.hof, 6) == round(r.vec, 6), (dim, r.hof, r.vec)
+            # raw values a few ulps apart at most (cosine magnitudes can be
+            # tiny under the adversarial spread, so bound relative error)
+            scale = max(abs(r.hof), abs(r.vec), 1e-300)
+            assert math.isclose(r.hof, r.vec, rel_tol=1e-12), (dim, r.hof, r.vec)
+            assert abs(r.hof - r.vec) / scale < 1e-12
+
+
 def test_lsh_topk_recall(spark, embs):
     dim = len(embs.first().embedding)
     queries = embs.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
