@@ -368,12 +368,33 @@ def multires_spatial_join(
     sentinel = min(poly_map, default=0) - 1
     pip = make_pip_udf_closure(poly_map)
 
+    # Compute the cell ONCE at the finest active zoom, then derive every
+    # coarser active zoom by shiftright — slippy tiles nest exactly
+    # (parent = child >> Δz; the max-clamp commutes with the shift and
+    # values are non-negative), so this replaces |zs| log/tan evaluations
+    # per point with one, same prefix trick as raster.py's downsample.
     zs = sorted(zooms_used)
+    zmax = zs[-1]
     pts = points.withColumn(
-        "z", F.explode(F.array(*[F.lit(z) for z in zs]))
-    )
-    pts = pts.withColumn("cell_x", TX.tile_x_dyn(F.col("lon"), F.col("z"))).withColumn(
-        "cell_y", TX.tile_y_dyn(F.col("lat"), F.col("z"))
+        "_cxf", TX.tile_x(F.col("lon"), zmax)
+    ).withColumn("_cyf", TX.tile_y(F.col("lat"), zmax))
+    pts = (
+        pts.withColumn(
+            "_zc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(z).cast("int").alias("z"),
+                            F.shiftright(F.col("_cxf"), zmax - z).alias("cell_x"),
+                            F.shiftright(F.col("_cyf"), zmax - z).alias("cell_y"),
+                        )
+                        for z in zs
+                    ]
+                )
+            ),
+        )
+        .select(*points.columns, "_zc.z", "_zc.cell_x", "_zc.cell_y")
     )
     joined = pts.join(F.broadcast(dim_df), ["z", "cell_x", "cell_y"], "inner")
     coarse = joined.filter(

@@ -157,6 +157,46 @@ def test_multires_join_equals_single_zoom(spark):
     assert a == b and len(a) > 0
 
 
+def test_cell_shift_nesting_equals_dyn_exprs(spark):
+    """The multires point stage derives coarse cells from the finest-zoom
+    cell by shiftright (slippy tiles nest; the max-clamp commutes with the
+    shift). Prove it against the per-zoom trig expressions tile_x_dyn /
+    tile_y_dyn over adversarial coords: antimeridian, poles, clamp
+    boundaries, and cell-edge-adjacent values."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.functions import tile_exprs as TX
+
+    edge = [
+        (-180.0, 0.0), (180.0, 0.0), (0.0, 85.0511287798066),
+        (0.0, -85.0511287798066), (0.0, 90.0), (0.0, -90.0),
+        (-179.99999999, 84.9), (179.99999999, -84.9), (0.0, 0.0),
+        (-0.000001, 0.000001), (11.25, 48.1374), (-122.4194, 37.7749),
+    ]
+    rng = __import__("numpy").random.default_rng(11)
+    pts = edge + [
+        (float(lo), float(la))
+        for lo, la in zip(
+            rng.uniform(-180, 180, 500), rng.uniform(-90, 90, 500)
+        )
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    zmax = 12
+    base = df.withColumn("_cxf", TX.tile_x(F.col("lon"), zmax)).withColumn(
+        "_cyf", TX.tile_y(F.col("lat"), zmax)
+    )
+    for z in (2, 5, 7, 11, 12):
+        out = base.select(
+            F.shiftright("_cxf", zmax - z).alias("sx"),
+            F.shiftright("_cyf", zmax - z).alias("sy"),
+            TX.tile_x_dyn(F.col("lon"), F.lit(z)).alias("dx"),
+            TX.tile_y_dyn(F.col("lat"), F.lit(z)).alias("dy"),
+            "lon", "lat",
+        ).collect()
+        for r in out:
+            assert (r.sx, r.sy) == (r.dx, r.dy), (z, r.lon, r.lat)
+
+
 def test_radius_join_matches_bruteforce(spark):
     """Cell-join radius join equals the brute-force distance filter, in the
     reference's Segment.DistanceToPt metric."""
