@@ -441,6 +441,67 @@ def q_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (the transitive-closure step a dedup pipeline
+    runs over its near-dup PAIRS): a deterministic chain+bridge graph over
+    doc ids — paths 0-9, 10-19, ... with bridges 55-155-255-355 etc. —
+    exercises multi-hop label propagation and pointer jumping."""
+    from grandine_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    chain = d.filter((F.col("doc_id") < 399) & (F.col("doc_id") % 10 != 9)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    bridge = d.filter((F.col("doc_id") % 100 == 55) & (F.col("doc_id") < 300)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100).alias("id_b")
+    )
+    return connected_components(chain.union(bridge)).select("node", "component")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event gains the most recent
+    preceding view by the same user (ties on ts broken by max event_id via
+    the pre-dedup; DuckDB expresses the same thing as ASOF LEFT JOIN)."""
+    from grandine_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_cols=["view_id", "view_ts"],
+    ).select("event_id", "user_id", "ts", "value", "view_id", "view_ts")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified quota sampling: at most 10 docs per language
+    chosen by md5(doc_id) order — the 'N docs per language' training-mix
+    step, reproducible across runs and partitionings."""
+    from grandine_spark.operators.sampling import quota_sample
+
+    return quota_sample(_docs(spark, sf_dir).select("doc_id", "lang"), "lang", 10).select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli(0.25) sample keyed on md5(doc_id) — a pure
+    map-side filter (no shuffle, pushes to the scan), join-stable."""
+    from grandine_spark.operators.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "lang")
+
+
 def q_stream_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming windowed per-cell counts, NOW oracle-checkable:
     the stream is the derived document points with a deterministic event time
@@ -1308,6 +1369,59 @@ def _oracle_sessions() -> str:
     return '\nWITH o AS (\n  SELECT event_type, ts, value,\n         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)\n                   >= INTERVAL 30 MINUTE OR\n              LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL\n              THEN 1 ELSE 0 END AS new_s\n  FROM events),\ns AS (\n  SELECT event_type, ts, value,\n         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts\n                          ROWS UNBOUNDED PRECEDING) AS sid\n  FROM o)\nSELECT event_type,\n       MIN(ts) AS session_start,\n       MAX(ts) + INTERVAL 30 MINUTE AS session_end,\n       COUNT(*) AS n,\n       ROUND(SUM(value), 2) AS sum_value\nFROM s GROUP BY event_type, sid\n'
 
 
+def _oracle_connected_components() -> str:
+    return """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id < 399 AND doc_id % 10 <> 9
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 100 AS b FROM documents
+  WHERE doc_id % 100 = 55 AND doc_id < 300),
+ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM ed),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ed.b, reach.r FROM ed JOIN reach ON ed.a = reach.node)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+def _oracle_asof_join() -> str:
+    return """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value, v.view_id, v.view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+"""
+
+
+def _oracle_quota_sample() -> str:
+    return """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 10
+"""
+
+
+def _oracle_hash_sample() -> str:
+    # 2^60 = 1152921504606846976: same 60-bit md5 prefix / 2^60 uniform as
+    # operators/sampling._hash_u01
+    return """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0 < 0.25
+"""
+
+
 def _oracle_pricing_summary() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
@@ -1380,6 +1494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
+        "connected_components": q_connected_components,
+        "asof_join": q_asof_join,
+        "quota_sample": q_quota_sample,
+        "hash_sample": q_hash_sample,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
         "tiles": q_tiles,
@@ -1430,6 +1548,10 @@ def oracle_sql() -> dict[str, str]:
         "multipolygon_assembly": _oracle_multipolygon_assembly(),
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),
+        "connected_components": _oracle_connected_components(),
+        "asof_join": _oracle_asof_join(),
+        "quota_sample": _oracle_quota_sample(),
+        "hash_sample": _oracle_hash_sample(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),
         "stream_cell_counts": _oracle_stream_cell_counts(),

@@ -1,0 +1,123 @@
+"""Connected components over candidate-duplicate pairs (graph clustering).
+
+A real dedup pipeline does not stop at pairs: MinHash/SimHash/Jaccard emit
+*edges* (id_a, id_b), and the keep/drop decision needs the transitive
+closure — if A~B and B~C, all three are one cluster even though (A,C) was
+never emitted. This module closes that gap: ``connected_components`` turns
+an edge list into (node, component) labels where the component id is the
+minimum node id in the component, and ``dedup_clusters`` composes it with
+any pair generator from ``operators.dedup``.
+
+Scale notes (100 TB / 10^12 nodes): the algorithm is min-label propagation
+with pointer jumping — each round (a) pulls the min label across each
+node's neighborhood (one shuffle on the edge list) and (b) replaces every
+label with its label's label (one shuffle on the label table, which is
+|nodes| rows of two longs). Pointer jumping gives O(log n) rounds on path
+graphs instead of O(n) for plain propagation; dedup graphs (stars/cliques
+around a popular document) typically converge in 2-3 rounds. Nothing is
+ever collected to the driver; per-round lineage is truncated with
+``localCheckpoint`` so the plan does not grow with the iteration count
+(the standard Spark iterative-algorithm pattern). The edge list is
+re-used every round — it is cached once, symmetrized.
+
+No reference parity: thomersch/grandine has no graph operator; this is a
+BASELINE.md training-data-pipeline extension (axes: pyspark x webtext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``edges``; the
+    component label is the minimum node id reachable from the node.
+
+    Deterministic: output depends only on the edge *set* (duplicates and
+    orientation are normalized away). Raises after ``max_iter`` rounds
+    rather than silently returning partial labels — with pointer jumping,
+    25 rounds covers any graph a dedup pipeline can produce (2^25-long
+    induced paths).
+    """
+    sym = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    sym = (
+        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = sym.persist()
+    try:
+        # init: every node labels itself
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iter):
+            # (a) neighborhood pull: lbl'(u) = min(lbl(u), min_{v~u} lbl(v))
+            nbr = (
+                sym.join(labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b")
+                .groupBy("a")
+                .agg(F.min("nlbl").alias("nmin"))
+                .withColumnRenamed("a", "node")
+            )
+            pulled = (
+                labels.join(nbr, "node", "left")
+                .select("node", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"))
+            )
+            # (b) pointer jump: lbl''(u) = lbl(lbl'(u)) — label table joined
+            # to itself (|nodes| rows, two longs: cheap even at 10^12)
+            jumped = (
+                pulled.join(
+                    pulled.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")),
+                    "lbl",
+                )
+                .select("node", F.col("lbl2").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                jumped.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                return labels.select(F.col("node"), F.col("lbl").alias("component"))
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        sym.unpersist()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for every document: (doc_id, cluster_id, is_keeper).
+
+    Documents that appear in no pair are their own singleton cluster. The
+    keeper is the minimum doc_id of the cluster (same convention as
+    ``dedup_exact``), so ``filter(is_keeper)`` is the deduplicated corpus.
+    One extra left join against the (small) label table; the docs table is
+    never shuffled on anything but the join key.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -1,0 +1,179 @@
+"""Connected components, as-of join, and deterministic sampling operators."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from grandine_spark.operators.graph import connected_components, dedup_clusters
+from grandine_spark.operators.sampling import hash_sample, quota_sample
+from grandine_spark.operators.temporal import asof_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _cc(spark, pairs):
+    rows = connected_components(_edges(spark, pairs)).collect()
+    return {r.node: r.component for r in rows}
+
+
+def test_cc_path_graph(spark):
+    # a single 12-node path: worst case for plain propagation; pointer
+    # jumping must still converge well under max_iter
+    comp = _cc(spark, [(i, i + 1) for i in range(11)])
+    assert comp == {i: 0 for i in range(12)}
+
+
+def test_cc_two_components_and_orientation_invariance(spark):
+    comp = _cc(spark, [(3, 1), (1, 2), (10, 11), (11, 10), (12, 11)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_star_and_cycle(spark):
+    star = [(100, v) for v in range(101, 110)]
+    cycle = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    comp = _cc(spark, star + cycle)
+    assert all(comp[v] == 100 for v in range(100, 110))
+    assert all(comp[v] == 0 for v in range(4))
+
+
+def test_cc_bridge_merges_chains(spark):
+    # two 5-chains joined by one bridge edge → a single component
+    chains = [(i, i + 1) for i in range(4)] + [(i, i + 1) for i in range(10, 14)]
+    comp = _cc(spark, chains + [(4, 10)])
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_clusters_assigns_singletons(spark, docs):
+    pairs = _edges(spark, [(1, 2), (2, 3), (7, 9)])
+    clusters = dedup_clusters(docs, pairs)
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in clusters.collect()}
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    assert got[7] == (7, True) and got[9] == (7, False)
+    # untouched docs are their own keeper
+    assert got[42] == (42, True)
+    assert len(got) == docs.count()
+
+
+def test_dedup_clusters_closes_minhash_pairs(spark, docs):
+    """Transitive closure over real near-dup pairs: every pair's two sides
+    land in the same cluster, and the keeper is the cluster minimum."""
+    from grandine_spark.operators.dedup import minhash_lsh_pairs
+
+    dup = docs.select("doc_id", (F.col("doc_id") % 20).alias("src")).join(
+        docs.select(F.col("doc_id").alias("src"), "text"), "src"
+    )
+    pairs = minhash_lsh_pairs(dup, n_perm=4, band_size=2, shingle_k=3)
+    clusters = dedup_clusters(dup, pairs)
+    comp = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for r in pairs.collect():
+        assert comp[r.id_a] == comp[r.id_b]
+    keepers = {r.cluster_id for r in clusters.filter("is_keeper").collect()}
+    assert keepers == set(comp.values())
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_strict(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:05:00")), (2, 10, _ts("2024-01-01 00:02:00"))],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:02:00"), "a"),
+            (101, 10, _ts("2024-01-01 00:04:00"), "b"),
+            (102, 99, _ts("2024-01-01 00:00:00"), "z"),
+        ],
+        "rid long, k long, rts timestamp, tag string",
+    )
+    incl = asof_join(left, right, "k", "ts", "rts", ["rid", "tag"], right_seq="rid")
+    got = {r.eid: (r.rid, r.tag) for r in incl.collect()}
+    # eid 1 at :05 → rid 101 (:04); eid 2 at :02 → rid 100 (equal ts, inclusive)
+    assert got == {1: (101, "b"), 2: (100, "a")}
+
+    strict = asof_join(
+        left, right, "k", "ts", "rts", ["rid"], right_seq="rid", strict=True
+    )
+    got = {r.eid: r.rid for r in strict.collect()}
+    # strict: the equal-ts right row no longer matches eid 2
+    assert got == {1: 101, 2: None}
+
+
+def test_asof_tie_break_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 01:00:00")), (2, 6, _ts("2024-01-01 01:00:00"))],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 5, _ts("2024-01-01 00:30:00"), "lo"),
+            (9, 5, _ts("2024-01-01 00:30:00"), "hi"),
+        ],
+        "rid long, k long, rts timestamp, tag string",
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ["rid", "tag"], right_seq="rid")
+    got = {r.eid: (r.rid, r.tag) for r in out.collect()}
+    # equal right timestamps: greatest rid wins; key 6 has no right rows
+    assert got == {1: (9, "hi"), 2: (None, None)}
+
+
+def test_asof_left_columns_survive(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 01:00:00"), 3.5)],
+        "eid long, k long, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [(7, 5, _ts("2024-01-01 00:30:00"))], "rid long, k long, rts timestamp"
+    )
+    row = asof_join(left, right, "k", "ts", "rts", ["rid"]).collect()[0]
+    assert (row.eid, row.k, row.v, row.rid) == (1, 5, 3.5, 7)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    a = {r.doc_id for r in hash_sample(docs, 0.3).collect()}
+    b = {r.doc_id for r in hash_sample(docs.repartition(13), 0.3).collect()}
+    assert a == b and a
+    # matches the documented md5-prefix rule exactly
+    for did in list(a)[:20]:
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+        assert h / float(1 << 60) < 0.3
+    # monotone in rate: a smaller rate yields a subset
+    assert {r.doc_id for r in hash_sample(docs, 0.1).collect()} <= a
+
+
+def test_quota_sample_per_stratum(spark, docs):
+    out = quota_sample(docs.select("doc_id", "lang"), "lang", 7).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert set(by_lang) == langs
+    for lang, rows in by_lang.items():
+        ranks = sorted(r for r, _ in rows)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 7
+        # rank order IS md5 order
+        ordered = sorted(rows, key=lambda t: (hashlib.md5(str(t[1]).encode()).hexdigest(), t[1]))
+        assert [t[0] for t in ordered] == ranks
+
+
+def test_quota_sample_stable_under_repartition(spark, docs):
+    d = docs.select("doc_id", "lang")
+    a = sorted((r.lang, r.doc_id) for r in quota_sample(d, "lang", 5).collect())
+    b = sorted(
+        (r.lang, r.doc_id) for r in quota_sample(d.repartition(17), "lang", 5).collect()
+    )
+    assert a == b
