@@ -494,6 +494,46 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (the boilerplate-removal pass): every doc gets
+    a per-class footer line and a global copyright line appended; after the
+    pass each footer survives only in the smallest doc_id of its class and
+    the copyright only in doc 0, while every doc's own (unique) body line
+    survives everywhere."""
+    from grandine_spark.operators.dedup import line_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfooter "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\ncopyright 2024"),
+        ).alias("text"),
+    )
+    return line_dedup(d).select("doc_id", "text", "n_lines_kept", "n_lines_total")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: deterministic emails / IPv4s / phone numbers appended
+    to each doc are scrubbed to typed placeholders by the shared
+    RE2-and-Java-compatible pattern table (functions.text._PII_PATTERNS);
+    DuckDB runs the identical chain."""
+    from grandine_spark.functions.text import redact_pii
+
+    d = _docs(spark, sf_dir)
+    poisoned = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 tel +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    return d.select("doc_id", redact_pii(poisoned).alias("redacted"))
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Bernoulli(0.25) sample keyed on md5(doc_id) — a pure
     map-side filter (no shuffle, pushes to the scan), join-stable."""
@@ -1412,6 +1452,45 @@ FROM r WHERE sample_rank <= 10
 """
 
 
+def _oracle_line_dedup() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, text || chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR)
+         || chr(10) || 'copyright 2024' AS t
+  FROM documents),
+p AS (SELECT doc_id, t, string_split(t, chr(10)) AS parts FROM d),
+l AS (SELECT doc_id, i - 1 AS line_no, parts[i] AS line
+      FROM p, LATERAL (SELECT UNNEST(generate_series(1, len(parts))) AS i) g),
+r AS (SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM l),
+k AS (SELECT * FROM r WHERE length(line) < 1 OR rn = 1),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+               COUNT(*) AS n_lines_kept
+        FROM k GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT)
+               AS n_lines_total FROM d)
+SELECT tot.doc_id, COALESCE(agg.text, '') AS text,
+       CAST(COALESCE(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       tot.n_lines_total
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _oracle_redact_pii() -> str:
+    from grandine_spark.functions.text import pii_redaction_sql
+
+    poisoned = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.17 tel +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    )
+    return f"""
+SELECT doc_id, {pii_redaction_sql(f"({poisoned})")} AS redacted
+FROM documents
+"""
+
+
 def _oracle_hash_sample() -> str:
     # 2^60 = 1152921504606846976: same 60-bit md5 prefix / 2^60 uniform as
     # operators/sampling._hash_u01
@@ -1498,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "quota_sample": q_quota_sample,
         "hash_sample": q_hash_sample,
+        "line_dedup": q_line_dedup,
+        "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
         "tiles": q_tiles,
@@ -1552,6 +1633,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _oracle_asof_join(),
         "quota_sample": _oracle_quota_sample(),
         "hash_sample": _oracle_hash_sample(),
+        "line_dedup": _oracle_line_dedup(),
+        "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),
         "stream_cell_counts": _oracle_stream_cell_counts(),

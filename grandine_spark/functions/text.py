@@ -251,3 +251,37 @@ def extract_text_from_html(html: Column) -> Column:
     ]:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# PII patterns: RE2-compatible AND Java-regex-compatible (no lookaround, no
+# backreferences, explicit character classes instead of \s whose definition
+# differs between the engines) so the DuckDB oracle can run the identical
+# chain. Order matters: emails before phones (an email's digits must not be
+# half-eaten by the phone pattern), IPs before phones (dotted quads look
+# like phone fragments).
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -]?[0-9]{0,4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and international-format phone numbers
+    to typed placeholders — the standard pre-training redaction pass. Pure
+    JVM regexp_replace chain (no Python in the hot path); the exact same
+    three patterns run in DuckDB for the oracle."""
+    out = text
+    for pat, rep in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_redaction_sql(col: str) -> str:
+    """The DuckDB twin of ``redact_pii`` (nested regexp_replace with the
+    global flag), built from the same pattern table."""
+    expr = col
+    for pat, rep in _PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return expr

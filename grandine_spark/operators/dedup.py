@@ -198,3 +198,65 @@ def simhash_buckets(
         )
         sim = term if sim is None else sim + term
     return contrib.select(F.col(id_col), sim.alias("simhash"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the CCNet/RefinedWeb boilerplate
+    pass): split every document into lines, keep only the FIRST occurrence
+    of each distinct line across the whole corpus (first = smallest
+    (doc id, line number)), reassemble documents in original line order.
+    Lines shorter than ``min_chars`` are kept unconditionally (blank
+    separators and stray punctuation are not meaningful duplicates).
+
+    Returns (id_col, text, n_lines_kept, n_lines_total); a document whose
+    every line was seen earlier comes back with empty text, not dropped —
+    downstream filters decide its fate.
+
+    Scale (100 TB): two shuffles, both inherent — one on the line text for
+    the first-occurrence rank (window row_number; identical lines must
+    meet), one on the doc id to reassemble. No driver participation, no
+    collect; per-window state is a single counter. The skew case (one
+    boilerplate line in 10^9 docs) is bounded because row_number streams
+    the partition — nothing is buffered per frame."""
+    import re
+
+    from pyspark.sql import Window
+
+    pat = re.escape(sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("line_no", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("line_no"))
+    kept = lines.withColumn("_rn", F.row_number().over(w)).filter(
+        (F.length("line") < min_chars) | (F.col("_rn") == 1)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat, -1)).cast("long").alias("n_lines_total"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            "n_lines_total",
+        )
+    )

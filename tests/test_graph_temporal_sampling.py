@@ -177,3 +177,84 @@ def test_quota_sample_stable_under_repartition(spark, docs):
         (r.lang, r.doc_id) for r in quota_sample(d.repartition(17), "lang", 5).collect()
     )
     assert a == b
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nbody one"),
+            (2, "beta\nshared footer\nbody two"),
+            (3, "shared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    from grandine_spark.operators.dedup import line_dedup
+
+    out = {r.doc_id: r for r in line_dedup(d).collect()}
+    assert out[1].text == "alpha\nshared footer\nbody one"
+    assert out[2].text == "beta\nbody two"  # footer removed, order kept
+    assert out[3].text == "" and out[3].n_lines_kept == 0
+    assert (out[1].n_lines_total, out[2].n_lines_total) == (3, 3)
+
+
+def test_line_dedup_min_chars_keeps_blanks(spark):
+    d = spark.createDataFrame(
+        [(1, "x\n\ny"), (2, "z\n\nw")], "doc_id long, text string"
+    )
+    from grandine_spark.operators.dedup import line_dedup
+
+    out = {r.doc_id: r.text for r in line_dedup(d, min_chars=1).collect()}
+    # the empty separator line survives in BOTH docs
+    assert out == {1: "x\n\ny", 2: "z\n\nw"}
+
+
+def test_line_dedup_first_occurrence_is_positional(spark):
+    # within one doc a repeated line keeps only its first instance
+    d = spark.createDataFrame([(5, "a\nb\na\nc")], "doc_id long, text string")
+    from grandine_spark.operators.dedup import line_dedup
+
+    row = line_dedup(d).collect()[0]
+    assert row.text == "a\nb\nc" and row.n_lines_kept == 3 and row.n_lines_total == 4
+
+
+def test_redact_pii_matches_python_expectation(spark):
+    from grandine_spark.functions.text import redact_pii
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.001.7 port"),
+            (3, "call +44 207 946 0958 today"),
+            (4, "nothing here 3.14 or v1.2.3 stays"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.red for r in d.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "nothing here 3.14 or v1.2.3 stays"
+
+
+def test_redact_pii_sql_twin_agrees(spark):
+    """The DuckDB chain built by pii_redaction_sql produces byte-identical
+    output to the Spark chain on hostile mixed text."""
+    import duckdb
+
+    from grandine_spark.functions.text import pii_redaction_sql, redact_pii
+
+    texts = [
+        "a@b.co and c.d-e_f@g-h.io, ip 1.2.3.4 tel +1 555 0100",
+        "no pii at all",
+        "edge 999.999.999.999 and x@y.z stays (z too short? no: 1-char tld)",
+        "+352 123 456 7890 multi",
+    ]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    spark_out = {
+        r.i: r.red for r in d.select("i", redact_pii(F.col("t")).alias("red")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        sql = pii_redaction_sql("?")
+        duck = con.execute(f"SELECT {sql}", [t]).fetchone()[0]
+        assert spark_out[i] == duck, (i, spark_out[i], duck)
