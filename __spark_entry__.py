@@ -458,6 +458,42 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.union(bridge)).select("node", "component")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cluster assignment over the same chain+bridge graph: every doc
+    gets (cluster_id, is_keeper), docs outside the graph are singleton
+    keepers — the keep/drop decision table a dedup pipeline actually ships."""
+    from grandine_spark.operators.graph import dedup_clusters
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    chain = d.filter((F.col("doc_id") < 399) & (F.col("doc_id") % 10 != 9)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    bridge = d.filter((F.col("doc_id") % 100 == 55) & (F.col("doc_id") < 300)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100).alias("id_b")
+    )
+    return dedup_clusters(_docs(spark, sf_dir), chain.union(bridge)).select(
+        "doc_id", "cluster_id", F.col("is_keeper").cast("long").alias("is_keeper")
+    )
+
+
+def q_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory assembly: events geocoded by the rational scheme,
+    ordered by (ts, event_id), native lag-window haversine length — the
+    way-assembly idea applied to a user-keyed stream."""
+    from grandine_spark.operators.tracks import track_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+    return track_stats(ev, seq_col="event_id").select(
+        "user_id", "n_points", "start_ts", "end_ts", "length_m"
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every purchase event gains the most recent
     preceding view by the same user (ties on ts broken by max event_id via
@@ -1427,6 +1463,49 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _oracle_dedup_clusters() -> str:
+    return """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id < 399 AND doc_id % 10 <> 9
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 100 AS b FROM documents
+  WHERE doc_id % 100 = 55 AND doc_id < 300),
+ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM ed),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ed.b, reach.r FROM ed JOIN reach ON ed.a = reach.node),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(comp.component, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(comp.component, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
+def _oracle_track_stats() -> str:
+    hav = _HAVERSINE_SQL.format(lon1="plon", lat1="plat", lon2="lon", lat2="lat")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+seg AS (
+  SELECT user_id, ts, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       ROUND(SUM(CASE WHEN plon IS NULL THEN 0.0 ELSE {hav} END), 2) AS length_m
+FROM seg GROUP BY user_id
+"""
+
+
 def _oracle_asof_join() -> str:
     return """
 WITH v AS (
@@ -1574,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
         "connected_components": q_connected_components,
+        "dedup_clusters": q_dedup_clusters,
+        "track_stats": q_track_stats,
         "asof_join": q_asof_join,
         "quota_sample": q_quota_sample,
         "hash_sample": q_hash_sample,
@@ -1630,6 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),
         "connected_components": _oracle_connected_components(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "track_stats": _oracle_track_stats(),
         "asof_join": _oracle_asof_join(),
         "quota_sample": _oracle_quota_sample(),
         "hash_sample": _oracle_hash_sample(),

@@ -258,3 +258,34 @@ def test_redact_pii_sql_twin_agrees(spark):
         sql = pii_redaction_sql("?")
         duck = con.execute(f"SELECT {sql}", [t]).fetchone()[0]
         assert spark_out[i] == duck, (i, spark_out[i], duck)
+
+
+def test_track_stats_matches_python(spark):
+    import datetime
+    import math
+
+    from grandine_spark.operators.tracks import track_stats
+
+    def hav(lon1, lat1, lon2, lat2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        a = math.sin((rl2 - rl1) / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(
+            (math.radians(lon2) - math.radians(lon1)) / 2
+        ) ** 2
+        return 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a)) * 6371000.0
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # user 1: three points out of time order in the input; user 2: single point
+    rows = [
+        (1, t0 + datetime.timedelta(minutes=2), 2, 10.0, 0.0),
+        (1, t0, 0, 0.0, 0.0),
+        (1, t0 + datetime.timedelta(minutes=1), 1, 5.0, 5.0),
+        (2, t0, 3, 100.0, 50.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, lon double, lat double"
+    )
+    got = {r.user_id: r for r in track_stats(ev, seq_col="event_id").collect()}
+    want = hav(0, 0, 5, 5) + hav(5, 5, 10, 0)  # time order, not input order
+    assert got[1].n_points == 3 and abs(got[1].length_m - want) < 0.01
+    assert got[2].n_points == 1 and got[2].length_m == 0.0
+    assert got[1].start_ts == t0 and got[1].end_ts == t0 + datetime.timedelta(minutes=2)

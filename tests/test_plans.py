@@ -137,3 +137,85 @@ def test_spatial_join_guard_takes_shuffle_plan(spark, pages_path):
     )
     assert "full_inside" not in plan
     assert "wkb" in plan
+
+
+def test_asof_join_single_exchange_no_python(spark, tmp_path):
+    """As-of join: union + ONE shuffle on the key + running window; no
+    Python nodes, no extra exchange for the window (it reuses the key
+    partitioning)."""
+    import datetime
+
+    from grandine_spark.operators.temporal import asof_join
+
+    p = str(tmp_path / "ev")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, i % 5, t0 + datetime.timedelta(minutes=i)) for i in range(100)],
+        "eid long, k long, ts timestamp",
+    ).write.parquet(p)
+    ev = spark.read.parquet(p)
+    left = ev.filter("eid % 2 = 0")
+    right = ev.filter("eid % 2 = 1").select(
+        "k", F.col("ts").alias("rts"), F.col("eid").alias("rid")
+    )
+    plan = plan_of(asof_join(left, right, "k", "ts", "rts", ["rid"], right_seq="rid"))
+    exchanges = {
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(_k#\d+", plan)
+    }
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_sampling_plans(spark, pages_path):
+    """hash_sample is a pure pushed-to-scan filter (zero exchanges, zero
+    Python); quota_sample is exactly one exchange on the stratum."""
+    from grandine_spark.operators.sampling import hash_sample, quota_sample
+
+    pages = spark.read.parquet(pages_path)
+    plan = plan_of(hash_sample(pages.select("url", "lang"), 0.25, id_col="url"))
+    assert not re.findall(r"\bExchange \(\d+\)", plan)
+    assert "EvalPython" not in plan
+
+    plan = plan_of(quota_sample(pages.select("url", "lang"), "lang", 10, id_col="url"))
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1
+    assert "EvalPython" not in plan
+
+
+def test_track_stats_single_exchange_native(spark, tmp_path):
+    """Track assembly: one shuffle on the key; lag window and haversine all
+    JVM-native (whole-stage codegen, no Python)."""
+    import datetime
+
+    from grandine_spark.operators.tracks import track_stats
+
+    p = str(tmp_path / "trk")
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i % 7, t0 + datetime.timedelta(minutes=i), i, float(i % 90), float(i % 45))
+            for i in range(200)
+        ],
+        "user_id long, ts timestamp, event_id long, lon double, lat double",
+    ).write.parquet(p)
+    ev = spark.read.parquet(p)
+    plan = plan_of(track_stats(ev, seq_col="event_id"))
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+    assert "EvalPython" not in plan
+    # final aggregate reuses the window's key partitioning: partial+final
+    # HashAggregate with no exchange between them
+    assert len(re.findall(r"\bHashAggregate \(\d+\)", plan)) == 2
+
+
+def test_line_dedup_two_exchanges_no_python(spark, pages_path):
+    """Line dedup: exactly the two inherent shuffles (line rank + doc
+    reassembly), nothing Python-side."""
+    from grandine_spark.operators.dedup import line_dedup
+
+    pages = spark.read.parquet(pages_path).select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    plan = plan_of(line_dedup(pages))
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 3, plan
+    assert "EvalPython" not in plan
