@@ -335,6 +335,74 @@ def main():
     approx = {(r.q_id, r.vec_id) for r in approx_rows}
     meta["ann_lsh_recall_at_10"] = round(len(exact & approx) / max(len(exact), 1), 3)
 
+    # --- pipeline operators (round-3 family) ---------------------------------
+    # all run over a deterministic 5-15% hash sample of the pages corpus so
+    # they exercise the real zipf-skewed domain distribution at bounded cost
+    from grandine_spark.operators.dedup import line_dedup
+    from grandine_spark.operators.graph import connected_components
+    from grandine_spark.operators.sampling import hash_sample
+    from grandine_spark.operators.temporal import asof_join
+    from grandine_spark.operators.tracks import track_stats
+
+    sample = hash_sample(pages, 0.15, id_col="url").select(
+        "url",
+        "warc_ts",
+        "text",
+        F.substring_index(F.substring_index("url", "/", 3), "//", -1).alias("domain"),
+    )
+    sample.cache().count()
+
+    # word-granularity corpus dedup: explode → rank shuffle → reassembly
+    timed(
+        "line_dedup_words",
+        lambda: line_dedup(
+            hash_sample(sample, 1.0 / 3.0, id_col="url"),
+            id_col="url",
+            sep=" ",
+        ).count(),
+        reps=1,
+    )
+    # self as-of join on the zipf-skewed domain key: each fetch gains the
+    # previous fetch of the same domain (union + one shuffle + window)
+    timed(
+        "asof_domain",
+        lambda: asof_join(
+            sample.select("url", "domain", "warc_ts"),
+            sample.select(
+                F.col("domain"),
+                F.col("warc_ts").alias("prev_ts"),
+                F.col("url").alias("prev_url"),
+            ),
+            on="domain",
+            left_ts="warc_ts",
+            right_ts="prev_ts",
+            right_cols=["prev_url"],
+            strict=True,
+        ).count(),
+        reps=1,
+    )
+    # per-domain trajectory: geocoded fetches in time order, haversine length
+    geo_sample = geocode_pages(sample.select("url", "warc_ts", "text"))
+    timed(
+        "track_stats_domains",
+        lambda: track_stats(
+            geo_sample.join(sample.select("url", "domain"), "url"),
+            key_col="domain",
+            ts_col="warc_ts",
+        ).count(),
+        reps=1,
+    )
+    # transitive closure over exact-dup pairs (the pairs→clusters step)
+    cc_pairs = dedup_exact_pairs(dup_docs).select(
+        F.col("dup_id").alias("id_a"), F.col("keeper_id").alias("id_b")
+    )
+    timed(
+        "cc_dedup_pairs",
+        lambda: connected_components(cc_pairs).count(),
+        reps=1,
+    )
+    sample.unpersist()
+
     # --- relational sanity ----------------------------------------------------
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(
