@@ -458,6 +458,41 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.union(bridge)).select("node", "component")
 
 
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3x3 mean over the z5 point-count raster: neighborhood smoothing
+    with antimeridian x-wrap and polar y-clamp; mean over PRESENT cells."""
+    from grandine_spark.operators.raster import focal_mean, rasterize_points
+
+    r = rasterize_points(_points(spark, sf_dir), 5)
+    return focal_mean(r, 5).select(
+        "tile_x", "tile_y", "focal_mean", "n_neighbors"
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: per-polygon count/sum/mean/min/max of a point value
+    (doc quality proxy = n_chars) — the spatial join composed directly into
+    a map-side partial aggregate."""
+    from grandine_spark.operators.spatial_join import zonal_stats
+
+    d = _docs(spark, sf_dir)
+    pts = _points(spark, sf_dir).join(d.select("doc_id", "n_chars"), "doc_id")
+    feats = _diamond_features(spark, sf_dir)
+    return zonal_stats(
+        pts, feats, value_col="n_chars", zoom=6, point_id="doc_id"
+    ).select("feature_id", "n_points", "sum_value", "avg_value", "min_value", "max_value")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary (term count + exact document frequency) — the
+    vocab-build step; deterministic rank (count desc, token asc)."""
+    from grandine_spark.functions.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50).select(
+        "token", "term_count", "doc_freq", "rank"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cluster assignment over the same chain+bridge graph: every doc
     gets (cluster_id, is_keeper), docs outside the graph are singleton
@@ -1463,6 +1498,68 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _oracle_focal_mean() -> str:
+    tx, ty = _tile_sql("lon", "lat", 5)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+cells AS (SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+offs AS (SELECT dx.v AS dx, dy.v AS dy
+         FROM (SELECT UNNEST(generate_series(-1, 1)) AS v) dx,
+              (SELECT UNNEST(generate_series(-1, 1)) AS v) dy),
+contrib AS (
+  SELECT (c.tile_x + o.dx + 32) % 32 AS tile_x,
+         c.tile_y + o.dy AS tile_y, c.n
+  FROM cells c CROSS JOIN offs o)
+SELECT tile_x, tile_y,
+       ROUND(AVG(n), 6) AS focal_mean,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM contrib WHERE tile_y >= 0 AND tile_y < 32
+GROUP BY 1, 2
+"""
+
+
+def _oracle_zonal_stats() -> str:
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+diamonds AS (
+  SELECT n_nationkey AS feature_id,
+         (n_nationkey * 77) % 360 - 180 + 0.5 AS cx,
+         (n_nationkey * 37) % 160 - 80 + 0.5 AS cy,
+         5.0 + (n_nationkey % 4) * 2.0 AS r
+  FROM nation),
+j AS (
+  SELECT d.feature_id, doc.n_chars
+  FROM pts p
+  JOIN diamonds d ON ABS(p.lon - d.cx) + ABS(p.lat - d.cy) <= d.r
+  JOIN documents doc ON doc.doc_id = p.doc_id)
+SELECT feature_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_value,
+       ROUND(AVG(n_chars), 6) AS avg_value,
+       MIN(n_chars) AS min_value,
+       MAX(n_chars) AS max_value
+FROM j GROUP BY feature_id
+"""
+
+
+def _oracle_vocab_topk() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS term_count,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks WHERE length(token) > 0 GROUP BY token),
+r AS (
+  SELECT token, term_count, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY term_count DESC, token) AS rank
+  FROM c)
+SELECT token, term_count, doc_freq, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 50
+"""
+
+
 def _oracle_dedup_clusters() -> str:
     return """
 WITH RECURSIVE e0 AS (
@@ -1653,6 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
         "connected_components": q_connected_components,
+        "focal_mean": q_focal_mean,
+        "zonal_stats": q_zonal_stats,
+        "vocab_topk": q_vocab_topk,
         "dedup_clusters": q_dedup_clusters,
         "track_stats": q_track_stats,
         "asof_join": q_asof_join,
@@ -1711,6 +1811,9 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),
         "connected_components": _oracle_connected_components(),
+        "focal_mean": _oracle_focal_mean(),
+        "zonal_stats": _oracle_zonal_stats(),
+        "vocab_topk": _oracle_vocab_topk(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "track_stats": _oracle_track_stats(),
         "asof_join": _oracle_asof_join(),

@@ -285,3 +285,33 @@ def pii_redaction_sql(col: str) -> str:
         p = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
     return expr
+
+
+def vocab_topk(
+    df,
+    k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k vocabulary with term and document frequencies — the vocab-build
+    step of a tokenizer/IDF pipeline. Rank is deterministic (count desc,
+    token asc).
+
+    Plan: explode → ONE groupBy shuffle on the token (count + exact
+    distinct-doc count), then TakeOrdered for the global top-k — no full
+    sort shuffle; the rank window runs on k rows only. At 100 TB the token
+    table is the shuffle, and it is the minimal one (map-side partial
+    counts collapse each partition to its distinct tokens first)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    topk = counts.orderBy(F.col("term_count").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("term_count").desc(), F.col("token"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -109,3 +109,45 @@ def rasterize_areas(areas: DataFrame, zoom: int, value_col: str | None = None) -
     return (
         cov.groupBy("tile_x", "tile_y").agg(*aggs).withColumn("tile_z", F.lit(zoom))
     )
+
+
+def focal_mean(
+    raster: DataFrame,
+    zoom: int,
+    value_col: str = "n",
+    radius: int = 1,
+) -> DataFrame:
+    """Focal (neighborhood) smoothing: each cell's value becomes the mean
+    over the (2r+1)x(2r+1) window centered on it — the standard raster
+    kernel op (heatmap smoothing, density surfaces). Absent neighbors count
+    as ABSENT (mean over present cells only), matching sparse-raster
+    semantics; x wraps around the antimeridian, y clamps at the poles.
+
+    Plan: explode each cell to its neighbor positions ((2r+1)^2 rows, a
+    constant factor) and ONE groupBy shuffle on the receiving cell. No
+    Python, no driver state; at 100 TB the blowup factor is the kernel
+    size, not the data size — the same cost model as the coverage explode
+    the tiler uses."""
+    n = 1 << zoom
+    offs = [(dx, dy) for dx in range(-radius, radius + 1) for dy in range(-radius, radius + 1)]
+    contrib = raster.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+        F.col("tile_x"),
+        F.col("tile_y"),
+        F.col(value_col).alias("_v"),
+    ).select(
+        # x wraps (mod n), y clamps via filter
+        ((F.col("tile_x") + F.col("o.dx") + n) % n).alias("tile_x"),
+        (F.col("tile_y") + F.col("o.dy")).alias("tile_y"),
+        F.col("_v"),
+    ).filter((F.col("tile_y") >= 0) & (F.col("tile_y") < n))
+    return (
+        contrib.groupBy("tile_x", "tile_y")
+        .agg(
+            F.round(F.avg("_v"), 6).alias("focal_mean"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+        .withColumn("tile_z", F.lit(zoom))
+    )

@@ -289,3 +289,66 @@ def test_track_stats_matches_python(spark):
     assert got[1].n_points == 3 and abs(got[1].length_m - want) < 0.01
     assert got[2].n_points == 1 and got[2].length_m == 0.0
     assert got[1].start_ts == t0 and got[1].end_ts == t0 + datetime.timedelta(minutes=2)
+
+
+def test_focal_mean_wrap_and_clamp(spark):
+    from grandine_spark.operators.raster import focal_mean
+
+    # z1 grid is 2x2: x wraps mod 2, y clamps to [0,2)
+    r = spark.createDataFrame(
+        [(0, 0, 10.0), (1, 1, 30.0)], "tile_x long, tile_y long, n double"
+    )
+    out = {(r2.tile_x, r2.tile_y): (r2.focal_mean, r2.n_neighbors) for r2 in focal_mean(r, 1).collect()}
+    # every cell of the 2x2 grid receives both sources: with radius 1 on a
+    # width-2 wrap both dx=-1 and dx=+1 land on the other column and dx=0 on
+    # its own, so each receiver sees each source once or twice
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for k, (m, n) in out.items():
+        assert 10.0 <= m <= 30.0 and n >= 2
+
+
+def test_focal_mean_isolated_cell(spark):
+    from grandine_spark.operators.raster import focal_mean
+
+    r = spark.createDataFrame([(5, 5, 8.0)], "tile_x long, tile_y long, n double")
+    out = {(x.tile_x, x.tile_y): (x.focal_mean, x.n_neighbors) for x in focal_mean(r, 4).collect()}
+    # a lone cell dilates to its 3x3 neighborhood, each with mean = its value
+    assert len(out) == 9
+    assert all(v == (8.0, 1) for v in out.values())
+    assert (5, 5) in out and (4, 4) in out and (6, 6) in out
+
+
+def test_zonal_stats_matches_manual(spark):
+    from grandine_spark.operators.spatial_join import zonal_stats
+    from grandine_spark.sources import synth
+
+    feats = synth.features(spark, n_polygons=10, n_roads=0, n_pois=0)
+    # points at polygon centroids carry value = their index
+    cents = feats.selectExpr(
+        "feature_id", "(minx + maxx) / 2 AS lon", "(miny + maxy) / 2 AS lat"
+    )
+    pts = cents.select(
+        F.col("feature_id").cast("string").alias("pid"), "lon", "lat",
+        (F.col("feature_id") * 10).cast("double").alias("val"),
+    )
+    out = {r.feature_id: r for r in zonal_stats(
+        pts, feats, value_col="val", zoom=6, point_id="pid"
+    ).collect()}
+    for fid, r in out.items():
+        assert r.n_points >= 1
+        # the centroid point of polygon fid is inside it with value fid*10
+        assert r.min_value <= fid * 10 <= r.max_value
+
+
+def test_vocab_topk_rank_and_counts(spark):
+    from grandine_spark.functions.text import vocab_topk
+
+    d = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {r.token: r for r in vocab_topk(d, k=10).collect()}
+    assert rows["a"].term_count == 3 and rows["a"].doc_freq == 2
+    assert rows["b"].term_count == 3 and rows["b"].doc_freq == 2
+    assert rows["c"].term_count == 2 and rows["c"].doc_freq == 2
+    # ties broken by token asc: a before b
+    assert rows["a"].rank == 1 and rows["b"].rank == 2 and rows["c"].rank == 3
