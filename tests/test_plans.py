@@ -219,3 +219,32 @@ def test_line_dedup_two_exchanges_no_python(spark, pages_path):
     plan = plan_of(line_dedup(pages))
     assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 3, plan
     assert "EvalPython" not in plan
+
+
+def test_bucketed_spatial_join_zero_exchange_and_parity(spark, pages_path, tmp_path):
+    """Co-located buckets: the cell join plans with NO exchange on either
+    side, and the result is identical to the vanilla shuffle path."""
+    from grandine_spark.operators.spatial_join import geocode_pages, spatial_join
+    from grandine_spark.plans.bucketing import (
+        bucketed_spatial_join,
+        prepare_spatial_buckets,
+    )
+    from grandine_spark.sources import synth
+
+    pts = geocode_pages(spark.read.parquet(pages_path))
+    feats = synth.features(spark, n_polygons=25, n_roads=0, n_pois=0)
+    prepare_spatial_buckets(
+        pts, feats, zoom=6,
+        points_table="gs_t_bkt_pts", features_table="gs_t_bkt_cells",
+        base_path=str(tmp_path / "bkt"), n_buckets=8,
+    )
+    out = bucketed_spatial_join(spark, "gs_t_bkt_pts", "gs_t_bkt_cells")
+    plan = plan_of(out)
+    assert not re.findall(r"\bExchange \(\d+\)", plan), plan
+
+    got = sorted((r.url, r.feature_id) for r in out.collect())
+    want = sorted(
+        (r.url, r.feature_id)
+        for r in spatial_join(pts, feats, zoom=6, broadcast=False).collect()
+    )
+    assert got == want and got
