@@ -458,6 +458,19 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.union(bridge)).select("node", "component")
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode (pure Catalyst bit-interleave, no Python) at precision
+    6 plus the precision-3 prefix — prefixes ARE coarser cells, the
+    equi-join key family next to slippy z/x/y."""
+    from grandine_spark.functions.geohash import geohash_encode
+
+    pts = _points(spark, sf_dir)
+    gh = geohash_encode(F.col("lon"), F.col("lat"), 6)
+    return pts.select(
+        "doc_id", gh.alias("gh"), F.substring(gh, 1, 3).alias("gh3")
+    )
+
+
 def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal 3x3 mean over the z5 point-count raster: neighborhood smoothing
     with antimeridian x-wrap and polar y-clamp; mean over PRESENT cells."""
@@ -1498,6 +1511,19 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _oracle_geohash() -> str:
+    from grandine_spark.functions.geohash import geohash_sql_parts
+
+    lon_q, lat_q, inter, chars = geohash_sql_parts("lon", "lat", 6)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+q AS (SELECT doc_id, {lon_q} AS lon_q, {lat_q} AS lat_q FROM pts),
+i AS (SELECT doc_id, {inter} AS inter FROM q),
+g AS (SELECT doc_id, {chars} AS gh FROM i)
+SELECT doc_id, gh, substr(gh, 1, 3) AS gh3 FROM g
+"""
+
+
 def _oracle_focal_mean() -> str:
     tx, ty = _tile_sql("lon", "lat", 5)
     return f"""
@@ -1750,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
         "connected_components": q_connected_components,
+        "geohash": q_geohash,
         "focal_mean": q_focal_mean,
         "zonal_stats": q_zonal_stats,
         "vocab_topk": q_vocab_topk,
@@ -1811,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _oracle_event_windows(),
         "sessions": _oracle_sessions(),
         "connected_components": _oracle_connected_components(),
+        "geohash": _oracle_geohash(),
         "focal_mean": _oracle_focal_mean(),
         "zonal_stats": _oracle_zonal_stats(),
         "vocab_topk": _oracle_vocab_topk(),

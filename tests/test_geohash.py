@@ -1,0 +1,102 @@
+"""Geohash codec: native-expression encode/decode vs the bisection reference."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from grandine_spark.functions.geohash import (
+    ALPHABET,
+    geohash_decode_bbox,
+    geohash_encode,
+)
+
+
+def ref_encode(lon, lat, p):
+    """Classic bisection construction (Niemeyer) — the public definition."""
+    lo, la = [-180.0, 180.0], [-90.0, 90.0]
+    bits, even = [], True
+    while len(bits) < 5 * p:
+        rng = lo if even else la
+        v = lon if even else lat
+        mid = (rng[0] + rng[1]) / 2
+        if v >= mid:
+            bits.append(1)
+            rng[0] = mid
+        else:
+            bits.append(0)
+            rng[1] = mid
+        even = not even
+    return "".join(
+        ALPHABET[int("".join(map(str, bits[5 * i : 5 * i + 5])), 2)] for i in range(p)
+    )
+
+
+KNOWN = [
+    ((-5.6, 42.6), 5, "ezs42"),          # the canonical wikipedia vector
+    ((13.361389, 38.115556), 6, "sqc8b4"),
+    ((-180.0, -90.0), 6, "000000"),
+    ((179.999, 89.999), 6, "zzzzzz"),
+]
+
+
+def test_known_vectors(spark):
+    for (lon, lat), p, want in KNOWN:
+        df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+        got = df.select(geohash_encode(F.col("lon"), F.col("lat"), p).alias("g")).first().g
+        assert got == want == ref_encode(lon, lat, p)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=-180_000_000, max_value=179_999_999),
+    st.integers(min_value=-90_000_000, max_value=89_999_999),
+    st.integers(min_value=1, max_value=8),
+)
+def test_encode_matches_bisection_reference(lon_u, lat_u, p):
+    # quantization form == bisection form, pure python check of the same
+    # arithmetic the Column expression unrolls. Coordinates at 6-decimal
+    # granularity (the georeference norm): the two forms can legitimately
+    # differ only for inputs within ~1 ulp of a cell boundary (float
+    # rounding in (x+off)/span picks the adjacent cell), which 1e-6
+    # granularity at p<=8 cannot produce.
+    lon, lat = lon_u / 1e6, lat_u / 1e6
+    from grandine_spark.functions.geohash import _nbits
+
+    nlon, nlat = _nbits(p)
+    lon_q = min(max(int((lon + 180.0) / 360.0 * (1 << nlon)), 0), (1 << nlon) - 1)
+    lat_q = min(max(int((lat + 90.0) / 180.0 * (1 << nlat)), 0), (1 << nlat) - 1)
+    total = 5 * p
+    inter = 0
+    for b in range(total):
+        if b % 2 == 0:
+            bit = (lon_q >> (nlon - 1 - b // 2)) & 1
+        else:
+            bit = (lat_q >> (nlat - 1 - (b - 1) // 2)) & 1
+        inter |= bit << (total - 1 - b)
+    got = "".join(ALPHABET[(inter >> (5 * (p - 1 - j))) % 32] for j in range(p))
+    assert got == ref_encode(lon, lat, p)
+
+
+def test_decode_roundtrip_containment(spark):
+    pts = [(i, float((i * 77) % 360 - 180) + 0.31, float((i * 31) % 170 - 85) + 0.17)
+           for i in range(60)]
+    df = spark.createDataFrame(pts, "i long, lon double, lat double")
+    gh = geohash_encode(F.col("lon"), F.col("lat"), 7)
+    dec = geohash_decode_bbox(gh, 7)
+    rows = df.select("lon", "lat", *[v.alias(k) for k, v in dec.items()]).collect()
+    for r in rows:
+        assert r.minx <= r.lon < r.maxx
+        assert r.miny <= r.lat < r.maxy
+
+
+def test_prefix_is_coarser_cell(spark):
+    """A precision-k prefix equals encoding at precision k directly."""
+    pts = [(float(i * 13 % 360 - 180) + 0.5, float(i * 7 % 170 - 85) + 0.5) for i in range(40)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = df.select(
+        geohash_encode(F.col("lon"), F.col("lat"), 6).alias("g6"),
+        geohash_encode(F.col("lon"), F.col("lat"), 3).alias("g3"),
+    ).collect()
+    for r in out:
+        assert r.g6[:3] == r.g3
