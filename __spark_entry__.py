@@ -458,6 +458,28 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.union(bridge)).select("node", "component")
 
 
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom aggregation pyramid z0..z6 in ONE pass (finest cell once,
+    coarser zooms by shiftright, single groupBy for all levels)."""
+    from grandine_spark.operators.raster import cell_pyramid
+
+    return cell_pyramid(_points(spark, sf_dir), max_zoom=6).select(
+        "tile_z", "tile_x", "tile_y", "n"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli rates as a map-side CASE filter (the
+    training-mix table), md5-keyed deterministic."""
+    from grandine_spark.operators.sampling import weighted_hash_sample
+
+    return weighted_hash_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.25, "zh": 0.1},
+        strata_col="lang",
+    ).select("doc_id", "lang")
+
+
 def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash encode (pure Catalyst bit-interleave, no Python) at precision
     6 plus the precision-3 prefix — prefixes ARE coarser cells, the
@@ -1511,6 +1533,29 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _oracle_cell_pyramid() -> str:
+    tx, ty = _tile_sql("lon", "lat", 6)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+base AS (SELECT {tx} AS bx, {ty} AS by FROM pts),
+levels AS (
+  SELECT z.z AS tile_z, bx >> (6 - z.z) AS tile_x, by >> (6 - z.z) AS tile_y
+  FROM base, (SELECT UNNEST(generate_series(0, 6)) AS z) z)
+SELECT tile_z, tile_x, tile_y, COUNT(*) AS n
+FROM levels GROUP BY 1, 2, 3
+"""
+
+
+def _oracle_weighted_sample() -> str:
+    return """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      / 1152921504606846976.0
+      < CASE lang WHEN 'zh' THEN 0.1 WHEN 'en' THEN 0.5
+                  WHEN 'de' THEN 0.25 ELSE 0.0 END
+"""
+
+
 def _oracle_geohash() -> str:
     from grandine_spark.functions.geohash import geohash_sql_parts
 
@@ -1777,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_segments": q_top_segments,
         "connected_components": q_connected_components,
         "geohash": q_geohash,
+        "cell_pyramid": q_cell_pyramid,
+        "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
         "zonal_stats": q_zonal_stats,
         "vocab_topk": q_vocab_topk,
@@ -1839,6 +1886,8 @@ def oracle_sql() -> dict[str, str]:
         "sessions": _oracle_sessions(),
         "connected_components": _oracle_connected_components(),
         "geohash": _oracle_geohash(),
+        "cell_pyramid": _oracle_cell_pyramid(),
+        "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),
         "zonal_stats": _oracle_zonal_stats(),
         "vocab_topk": _oracle_vocab_topk(),

@@ -151,3 +151,47 @@ def focal_mean(
         )
         .withColumn("tile_z", F.lit(zoom))
     )
+
+
+def cell_pyramid(
+    points: DataFrame,
+    max_zoom: int,
+    min_zoom: int = 0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """One-pass aggregation pyramid: per-cell counts (and optional value
+    sums) at EVERY zoom in [min_zoom, max_zoom] from a single scan — the
+    rollup a tile server wants precomputed for all display levels.
+
+    Plan: compute the finest cell once (one trig evaluation per point),
+    derive every coarser zoom with shiftright inside an explode (slippy
+    cells nest exactly: parent = child >> dz — the same prefix trick as
+    downsample/multires), then ONE groupBy shuffle for all zooms together.
+    The explode factor is the zoom-level count, not the data size, and the
+    shuffle carries partial aggregates (map-side combine), so at 100 TB
+    this beats z-many downsample passes by z scans and z-1 shuffles."""
+    zs = list(range(min_zoom, max_zoom + 1))
+    base = points.select(
+        TX.tile_x(F.col("lon"), max_zoom).alias("_bx"),
+        TX.tile_y(F.col("lat"), max_zoom).alias("_by"),
+        *([F.col(value_col).alias("_v")] if value_col else []),
+    )
+    levels = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(z).alias("tile_z"),
+                        F.shiftright("_bx", max_zoom - z).alias("tile_x"),
+                        F.shiftright("_by", max_zoom - z).alias("tile_y"),
+                    )
+                    for z in zs
+                ]
+            )
+        ).alias("c"),
+        *([F.col("_v")] if value_col else []),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum("_v").alias("sum_value"))
+    return levels.groupBy("c.tile_z", "c.tile_x", "c.tile_y").agg(*aggs)

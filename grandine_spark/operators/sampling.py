@@ -59,3 +59,21 @@ def quota_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= quota)
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (the training-mix table: {'en': 0.5,
+    'de': 0.1, ...}) with the same md5-keyed determinism as
+    ``hash_sample``. Still a pure map-side filter — the rate table compiles
+    to a CASE expression, so the mix needs no join, no shuffle, and no
+    broadcast; unknown strata fall to ``default_rate``."""
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(rate)
+    return df.filter(_hash_u01(id_col) < rate)

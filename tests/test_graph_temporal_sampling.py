@@ -352,3 +352,38 @@ def test_vocab_topk_rank_and_counts(spark):
     assert rows["c"].term_count == 2 and rows["c"].doc_freq == 2
     # ties broken by token asc: a before b
     assert rows["a"].rank == 1 and rows["b"].rank == 2 and rows["c"].rank == 3
+
+
+def test_cell_pyramid_levels_consistent(spark):
+    """Each zoom's counts must equal the explicit downsample chain, and the
+    total per level equals the point count."""
+    from grandine_spark.operators.raster import cell_pyramid, downsample, rasterize_points
+
+    pts = spark.createDataFrame(
+        [(float(i * 37 % 360 - 180) + 0.5, float(i * 17 % 160 - 80) + 0.5)
+         for i in range(200)],
+        "lon double, lat double",
+    )
+    pyr = cell_pyramid(pts, max_zoom=5, min_zoom=2)
+    by_z = {}
+    for r in pyr.collect():
+        by_z.setdefault(r.tile_z, {})[(r.tile_x, r.tile_y)] = r.n
+    assert set(by_z) == {2, 3, 4, 5}
+    for z in by_z:
+        assert sum(by_z[z].values()) == 200
+    # z4 from the pyramid == downsample(rasterize(z5) -> z4)
+    want = {
+        (r.tile_x, r.tile_y): r.n
+        for r in downsample(rasterize_points(pts, 5), 5, 4).collect()
+    }
+    assert by_z[4] == want
+
+
+def test_weighted_hash_sample_is_per_stratum_hash_sample(spark, docs):
+    from grandine_spark.operators.sampling import hash_sample, weighted_hash_sample
+
+    out = weighted_hash_sample(docs, {"en": 0.4, "de": 0.2}, strata_col="lang")
+    got = {(r.doc_id) for r in out.select("doc_id").collect()}
+    en = {r.doc_id for r in hash_sample(docs.filter("lang = 'en'"), 0.4).collect()}
+    de = {r.doc_id for r in hash_sample(docs.filter("lang = 'de'"), 0.2).collect()}
+    assert got == en | de  # other langs default to rate 0
