@@ -458,6 +458,16 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.union(bridge)).select("node", "component")
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by smoothed TF-IDF (ln((N+1)/(df+1))+1),
+    deterministic tie-break by token."""
+    from grandine_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), m=3).select(
+        "doc_id", "token", "tfidf", "rank"
+    )
+
+
 def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-zoom aggregation pyramid z0..z6 in ONE pass (finest cell once,
     coarser zooms by shiftright, single groupBy for all levels)."""
@@ -1533,6 +1543,30 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _oracle_tfidf() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+r AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _oracle_cell_pyramid() -> str:
     tx, ty = _tile_sql("lon", "lat", 6)
     return f"""
@@ -1822,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_segments": q_top_segments,
         "connected_components": q_connected_components,
         "geohash": q_geohash,
+        "tfidf": q_tfidf,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -1886,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": _oracle_sessions(),
         "connected_components": _oracle_connected_components(),
         "geohash": _oracle_geohash(),
+        "tfidf": _oracle_tfidf(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

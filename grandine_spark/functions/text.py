@@ -315,3 +315,42 @@ def vocab_topk(
     topk = counts.orderBy(F.col("term_count").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("term_count").desc(), F.col("token"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def tfidf_top_terms(
+    df,
+    m: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+):
+    """Per-document top-m keywords by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn-style smooth variant; ties by
+    token asc) — the keyword-extraction / doc-representation step.
+
+    Plan: one explode + one (doc, token) count shuffle; document
+    frequencies aggregate from the same counted frame (map-side partial),
+    joined back on the token; the final rank window shuffles on the doc id.
+    ``n_docs`` (corpus size) is a driver-side scalar count when not given —
+    a count, never a collect."""
+    from pyspark.sql import Window
+
+    n = n_docs if n_docs is not None else df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n + 1))) / (F.col("df") + 1)) + F.lit(1.0)
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * idf, 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= m)
+        .select(id_col, "token", "tfidf", "rank")
+    )

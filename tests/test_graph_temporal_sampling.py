@@ -387,3 +387,22 @@ def test_weighted_hash_sample_is_per_stratum_hash_sample(spark, docs):
     en = {r.doc_id for r in hash_sample(docs.filter("lang = 'en'"), 0.4).collect()}
     de = {r.doc_id for r in hash_sample(docs.filter("lang = 'de'"), 0.2).collect()}
     assert got == en | de  # other langs default to rate 0
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from grandine_spark.functions.text import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common"), (3, "common other")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.token): (r.tfidf, r.rank) for r in tfidf_top_terms(d, m=2).collect()}
+    idf = lambda df: math.log(4.0 / (df + 1)) + 1.0
+    # doc 1: common has tf=2 → 2*(ln(4/4)+1) = 2.0, beating rare's
+    # 1*(ln(4/2)+1) ≈ 1.693; in doc 3 (both tf=1) the rare token wins
+    assert abs(out[(1, "rare")][0] - round(idf(1), 6)) < 1e-9
+    assert abs(out[(1, "common")][0] - round(2 * idf(3), 6)) < 1e-9
+    assert out[(1, "common")][1] == 1 and out[(1, "rare")][1] == 2
+    assert out[(3, "other")][1] == 1  # rare beats the ubiquitous token
