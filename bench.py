@@ -201,19 +201,29 @@ def main():
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 
-    def timed(name, fn, reps=3):
-        """min-of-reps: the host is a shared VM with multi-minute noise
-        episodes (observed 2-4x slowdowns); a single sample can land inside
-        one. Interference only ever slows a run, so min estimates steady
-        state."""
+    def timed(name, fn, reps=3, stable=0.25):
+        """min-of-reps with ADAPTIVE extension: the host is a shared VM with
+        multi-MINUTE noise episodes (observed 2-10x slowdowns — r3 caught a
+        flagship run where an episode swallowed both of 2 reps and recorded
+        20x steady state). Interference only ever slows a run, so min
+        estimates steady state — but only if at least one sample lands
+        outside an episode. When the two best samples disagree by more than
+        ``stable`` (no corroborated floor yet), keep sampling up to reps+3
+        total. reps=1 entries stay single-shot (cheap coverage timings, not
+        headline metrics)."""
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
-        best, out = 1e18, None
-        for _ in range(reps):
+        times, out = [], None
+        max_reps = reps + 3 if reps > 1 else 1
+        while len(times) < reps or (
+            len(times) < max_reps
+            and sorted(times)[1] / sorted(times)[0] - 1 > stable
+        ):
             t0 = time.time()
             out = fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            times.append(time.time() - t0)
+        timings[name] = round(min(times), 3)
+        print(f"[bench] {name}: {timings[name]}s ({len(times)} reps)",
+              file=sys.stderr, flush=True)
         return out
 
     # --- geo pipeline ------------------------------------------------------
@@ -424,28 +434,43 @@ def main():
         big = spark.read.parquet(SCALING_CACHE)
         sf1["n_pages"] = SCALING_PAGES
 
-        t0 = time.time()
-        n_joined = spatial_join(geocode_pages(big), feats, zoom=7).count()
-        sf1["spatial_join_sec"] = round(time.time() - t0, 2)
+        def sf1_timed(fn, stable=0.25, max_reps=3):
+            """min-of-up-to-3: same noise-episode logic as timed() — one
+            rep only if a second corroborates it within ``stable``; these
+            are long jobs, so the second rep is the corroboration and the
+            third the escape hatch."""
+            times, out = [], None
+            while len(times) < 2 or (
+                len(times) < max_reps
+                and sorted(times)[1] / sorted(times)[0] - 1 > stable
+            ):
+                t0 = time.time()
+                out = fn()
+                times.append(time.time() - t0)
+            return round(min(times), 2), out
+
+        sf1["spatial_join_sec"], n_joined = sf1_timed(
+            lambda: spatial_join(geocode_pages(big), feats, zoom=7).count()
+        )
         sf1["joined_rows"] = n_joined
         sf1["joined_rows_per_sec"] = round(n_joined / sf1["spatial_join_sec"], 1)
 
         from grandine_spark.operators.dedup import dedup_exact
 
-        t0 = time.time()
-        sf1["dedup_groups"] = dedup_exact(big, id_col="url", text_col="text").count()
-        sf1["dedup_exact_sec"] = round(time.time() - t0, 2)
+        sf1["dedup_exact_sec"], sf1["dedup_groups"] = sf1_timed(
+            lambda: dedup_exact(big, id_col="url", text_col="text").count()
+        )
 
         feats10 = synth.features(
             spark, n_polygons=2000, n_roads=1000, n_pois=2000
         )
         sf1["n_features"] = feats10.count()
-        t0 = time.time()
         # hot-tile cap ON: this is the guard the sf1 run is meant to stress
-        sf1["n_tiles"] = build_tiles(
-            feats10, [2, 5, 8, 11, 12], max_features_per_tile=4096
-        ).count()
-        sf1["tiles_sec"] = round(time.time() - t0, 2)
+        sf1["tiles_sec"], sf1["n_tiles"] = sf1_timed(
+            lambda: build_tiles(
+                feats10, [2, 5, 8, 11, 12], max_features_per_tile=4096
+            ).count()
+        )
         sf1["tiles_per_sec"] = round(sf1["n_tiles"] / sf1["tiles_sec"], 1)
         for k, v in sf1.items():
             print(f"[bench] sf1 {k}: {v}", file=sys.stderr, flush=True)
