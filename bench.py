@@ -113,6 +113,39 @@ def idle_cpus(n: int, sample_s: float = 1.0) -> list[int]:
     return sorted(ranked[:n])
 
 
+def wait_for_quiet(min_idle: float = 0.85, max_wait_s: float = 300.0) -> bool:
+    """Gate a scaling pair on a quiet host window: sample whole-box idle and
+    wait (up to ``max_wait_s``) until mean idle >= ``min_idle``. The
+    co-tenant load comes in multi-minute EPISODES with quiet gaps between —
+    measuring through an episode wastes a pair (r3 observed pair
+    efficiencies 0.32-1.04 purely from timing); waiting for the gap is the
+    honest equivalent of benchmarking on an idle cluster. Returns whether a
+    quiet window was found (the pair runs either way — under sustained
+    load, more samples still beat fewer)."""
+    t0 = time.time()
+    while True:
+        def snap():
+            vals = {}
+            for line in open("/proc/stat"):
+                if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+                    p = line.split()
+                    vals[int(p[0][3:])] = (int(p[4]) + int(p[5]), sum(int(x) for x in p[1:]))
+            return vals
+        a = snap()
+        time.sleep(1.0)
+        b = snap()
+        idle = sum(b[c][0] - a[c][0] for c in a) / max(
+            1, sum(b[c][1] - a[c][1] for c in a)
+        )
+        if idle >= min_idle:
+            return True
+        if time.time() - t0 > max_wait_s:
+            return False
+        print(f"[bench] host busy (idle={idle:.2f}) — waiting for a quiet window",
+              file=sys.stderr, flush=True)
+        time.sleep(20.0)
+
+
 def run_flagship_subprocess(
     cores: int, reps: int = 2, cpu_list: list[int] | None = None
 ) -> tuple[float, int]:
@@ -510,8 +543,9 @@ def main():
                 # a noise-floor 0.68 against a corroborated ~0.9.
                 elapsed = time.time() - t_scaling0
                 best_plausible = max([e for e in pair_effs if e <= 1.0], default=0.0)
-                if pair >= 2 and (best_plausible >= 0.85 or elapsed > 1800):
+                if pair >= 2 and (best_plausible >= 0.85 or elapsed > 2400):
                     break
+                wait_for_quiet()  # don't burn a pair inside a noise episode
                 # fresh CPU masks per pair (co-tenant load moves): the N-run
                 # uses the quietest-4 SUBSET of the 4N-run's quietest-16, so
                 # both sides share conditions, like executors on one cluster
