@@ -458,6 +458,82 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(chain.union(bridge)).select("node", "component")
 
 
+def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic media blobs from doc_id (executor-side mapInPandas):
+    PNGs of known dims/channels with a constant fill, or WAV PCM of known
+    rate/length/amplitude — so an oracle can predict the DECODED stats
+    without being able to decode."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from grandine_spark.kernels.media import png_encode, wav_encode
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if kind == "png":
+                    w, h = 4 + did % 13, 3 + did % 7
+                    c = (1, 3, 4)[did % 3]
+                    img = np.full((h, w, c), did % 251, dtype=np.uint8)
+                    blobs.append(png_encode(img))
+                else:
+                    n = 100 + did % 400
+                    amp = did % 1000
+                    blobs.append(
+                        wav_encode(np.full(n, amp, dtype=np.int16), 8000)
+                    )
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return d.mapInPandas(run, schema)
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: blobs built from doc_id (known dims /
+    channels / constant fill), decoded by the pure-numpy codec
+    (kernels/media.py); the oracle predicts width/height/channels/mean
+    directly from doc_id — any codec defect breaks the hash."""
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    blobs = _synth_media(spark, sf_dir, "png")
+    out = extract_image_stats(blobs, id_col="doc_id", bin_col="blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_px",
+    )
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM decode end-to-end: known rate/length/amplitude per
+    doc_id; rms of a constant-amplitude signal is the amplitude exactly."""
+    from grandine_spark.operators.multimodal import extract_audio_stats
+
+    blobs = _synth_media(spark, sf_dir, "wav")
+    out = extract_audio_stats(blobs, id_col="doc_id", bin_col="blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "duration_s",
+        "rms",
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by smoothed TF-IDF (ln((N+1)/(df+1))+1),
     deterministic tie-break by token."""
@@ -1543,6 +1619,28 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _oracle_image_stats() -> str:
+    return """
+SELECT doc_id,
+       4 + doc_id % 13 AS width,
+       3 + doc_id % 7 AS height,
+       CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+       CAST(doc_id % 251 AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
+def _oracle_audio_stats() -> str:
+    return """
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       100 + doc_id % 400 AS n_samples,
+       ROUND((100 + doc_id % 400) / 8000.0, 6) AS duration_s,
+       CAST(doc_id % 1000 AS DOUBLE) AS rms
+FROM documents
+"""
+
+
 def _oracle_tfidf() -> str:
     return """
 WITH toks AS (
@@ -1857,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "geohash": q_geohash,
         "tfidf": q_tfidf,
+        "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -1922,6 +2022,8 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _oracle_connected_components(),
         "geohash": _oracle_geohash(),
         "tfidf": _oracle_tfidf(),
+        "image_stats": _oracle_image_stats(),
+        "audio_stats": _oracle_audio_stats(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

@@ -1,11 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media ride as opaque ``binary`` columns with typed metadata — the Spark-side
-schema, partitioning, Arrow batch shape and UDF signatures are real and
-tested; the actual codec work (JPEG decode, resampling, frame extraction) is
-STUBBED behind ``DECODERS`` because no image/audio libraries exist in this
-container. Swapping a stub for a real decoder (PIL/librosa/av) changes one
-function, not the pipeline.
+Media ride as opaque ``binary`` columns with typed metadata; all passes are
+mapInPandas over Arrow batches (blobs never touch the driver).
+
+REAL since round 3: PNG decode/resize/re-encode and WAV PCM decode run on
+the pure stdlib+numpy codecs in ``kernels/media.py`` — image stats,
+thumbnailing, and audio stats are genuine end-to-end decodes, oracle-checked
+against independently-predicted dimensions/means. Still honestly STUBBED:
+JPEG/GIF decode and video frame extraction (a conformant JPEG/H.264 decoder
+is a library, not a kernel, and none ships in this container) — those keep
+the deterministic-fake plumbing; swapping in PIL/pyav changes one function.
 """
 
 from __future__ import annotations
@@ -170,3 +174,144 @@ def sample_frames(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def decode_image(buf: bytes):
+    """REAL image decode for PNG (pure stdlib zlib + numpy — see
+    kernels/media.py); other formats still raise: a conformant JPEG
+    decoder is a library, not a kernel, and none ships in this container."""
+    if bytes(buf[:4]) == b"\x89PNG":
+        from ..kernels.media import png_decode
+
+        return png_decode(bytes(buf))
+    return decode_image_stub(bytes(buf))
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_image_stats(
+    df: DataFrame, id_col: str = "url", bin_col: str = "png"
+) -> DataFrame:
+    """REAL decode pass: PNG blobs → (width, height, channels, mean pixel).
+    mapInPandas, decode entirely executor-side; undecodable blobs yield
+    NULL stats rather than failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, ms = [], [], [], [], []
+            for did, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
+                ids.append(did)
+                try:
+                    img = decode_image(bytes(b))
+                    h, w, c = img.shape
+                    ws.append(w); hs.append(h); cs.append(c)
+                    ms.append(round(float(img.mean()), 6))
+                except Exception:
+                    ws.append(None); hs.append(None); cs.append(None); ms.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "mean_px": pd.array(ms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("png", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    id_col: str = "url",
+    bin_col: str = "png",
+) -> DataFrame:
+    """REAL resize pass: decode PNG → nearest-neighbor resample → re-encode
+    PNG, all inside the Arrow batch (the thumbnailing step of a multimodal
+    ingest). Undecodable blobs pass through as NULL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.media import png_encode, resize_nearest
+
+        for pdf in batches:
+            ids, outs = [], []
+            for did, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
+                ids.append(did)
+                try:
+                    outs.append(
+                        png_encode(resize_nearest(decode_image(bytes(b)), out_h, out_w))
+                    )
+                except Exception:
+                    outs.append(None)
+            yield pd.DataFrame({"doc_id": ids, "png": outs})
+
+    return df.select(id_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_stats(
+    df: DataFrame, id_col: str = "url", bin_col: str = "wav"
+) -> DataFrame:
+    """REAL decode pass: WAV PCM-16 blobs → (rate, sample count, duration,
+    RMS amplitude) via the pure-struct RIFF parser in kernels/media.py."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels.media import wav_decode
+
+        for pdf in batches:
+            ids, rates, ns, durs, rmss = [], [], [], [], []
+            for did, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
+                ids.append(did)
+                try:
+                    a, rate = wav_decode(bytes(b))
+                    n = a.shape[0]
+                    rates.append(rate); ns.append(n)
+                    durs.append(round(n / rate, 6))
+                    rmss.append(
+                        round(float(np.sqrt(np.mean(a.astype(np.float64) ** 2))), 6)
+                    )
+                except Exception:
+                    rates.append(None); ns.append(None)
+                    durs.append(None); rmss.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "duration_s": pd.array(durs, dtype="float64"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, AUDIO_STATS_SCHEMA)

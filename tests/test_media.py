@@ -1,0 +1,158 @@
+"""Real PNG/WAV codecs (kernels/media.py) and their Spark decode passes."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grandine_spark.kernels.media import (
+    _PNG_SIG,
+    _chunk,
+    png_decode,
+    png_encode,
+    resize_nearest,
+    wav_decode,
+    wav_encode,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def _encode_with_filter(img, f):
+    """Hand-encode with a fixed row filter to exercise every decode branch."""
+    h, w, c = img.shape
+    stride = w * c
+    rows, prev = [], np.zeros(stride, np.int16)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int16)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.zeros(stride, np.int16)
+            left[c:] = cur[:-c]
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.zeros(stride, np.int16)
+            left[c:] = cur[:-c]
+            enc = cur - (left + prev) // 2
+        else:  # paeth
+            left = np.zeros(stride, np.int16)
+            left[c:] = cur[:-c]
+            ul = np.zeros(stride, np.int16)
+            ul[c:] = prev[:-c]
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        rows.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_png_all_filters_decode(f):
+    rng = np.random.default_rng(f + 10)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(_encode_with_filter(img, f)), img)
+
+
+def test_png_rejects_unsupported():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)  # 16-bit depth
+    buf = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        png_decode(buf)
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_resize_nearest_exact_downscale():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    out = resize_nearest(img, 4, 4)
+    # factor-2 nearest picks every other row/col starting at 0
+    assert np.array_equal(out[:, :, 0], img[::2, ::2, 0])
+
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32767, size=441, dtype=np.int16)
+    a, rate = wav_decode(wav_encode(mono, 22050))
+    assert rate == 22050 and np.array_equal(a, mono)
+    stereo = rng.integers(-1000, 1000, size=(200, 2)).astype(np.int16)
+    a2, r2 = wav_decode(wav_encode(stereo, 8000))
+    assert r2 == 8000 and a2.shape == (200, 2) and np.array_equal(a2, stereo)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        wav_decode(b"nope")
+
+
+def test_image_stats_and_resize_on_spark(spark):
+    from grandine_spark.operators.multimodal import extract_image_stats, resize_images
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(12):
+        img = rng.integers(0, 256, size=(4 + i % 5, 3 + i % 4, (1, 3, 4)[i % 3]),
+                           dtype=np.uint8)
+        rows.append((str(i), png_encode(img), img.shape, round(float(img.mean()), 6)))
+    df = spark.createDataFrame(
+        [(r[0], bytearray(r[1])) for r in rows], "url string, png binary"
+    )
+    got = {r.doc_id: r for r in extract_image_stats(df).collect()}
+    for did, _, (h, w, c), mean in rows:
+        g = got[did]
+        assert (g.height, g.width, g.channels) == (h, w, c)
+        assert abs(g.mean_px - mean) < 1e-9
+
+    resized = {r.doc_id: bytes(r.png) for r in resize_images(df, 2, 3).collect()}
+    for did, _, _, _ in rows:
+        out = png_decode(resized[did])
+        assert out.shape[:2] == (2, 3)
+
+    # an undecodable blob yields NULLs, not a batch failure
+    bad = spark.createDataFrame([("x", bytearray(b"JUNK"))], "url string, png binary")
+    r = extract_image_stats(bad).collect()[0]
+    assert r.width is None and r.mean_px is None
+
+
+def test_audio_stats_on_spark(spark):
+    from grandine_spark.operators.multimodal import extract_audio_stats
+
+    sine = (np.sin(np.linspace(0, 20, 800)) * 1000).astype(np.int16)
+    df = spark.createDataFrame(
+        [("a", bytearray(wav_encode(sine, 16000))),
+         ("b", bytearray(wav_encode(np.full(100, 7, dtype=np.int16), 8000)))],
+        "url string, wav binary",
+    )
+    got = {r.doc_id: r for r in extract_audio_stats(df).collect()}
+    assert got["a"].sample_rate == 16000 and got["a"].n_samples == 800
+    assert abs(got["a"].duration_s - 0.05) < 1e-9
+    want_rms = round(float(np.sqrt(np.mean(sine.astype(np.float64) ** 2))), 6)
+    assert abs(got["a"].rms - want_rms) < 1e-9
+    assert got["b"].rms == 7.0 and got["b"].duration_s == 0.0125
