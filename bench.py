@@ -454,6 +454,53 @@ def main():
     )
     sample.unpersist()
 
+    # --- multimodal decode pass ----------------------------------------------
+    # REAL PNG decode throughput (kernels/media.py): 200k small images built
+    # executor-side, cached so the timed job is decode-only, one mapInPandas.
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    def _png_blobs(n):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("blob", T.BinaryType(), False),
+            ]
+        )
+
+        def run(batches):
+            import numpy as np
+
+            from grandine_spark.kernels.media import png_encode
+
+            for pdf in batches:
+                ids, blobs = [], []
+                for did in pdf["id"]:
+                    did = int(did)
+                    w, h = 16 + did % 48, 16 + did % 32
+                    c = (1, 3, 4)[did % 3]
+                    img = (
+                        np.arange(h * w * c, dtype=np.uint32)
+                        .reshape(h, w, c) % 251
+                    ).astype(np.uint8)
+                    ids.append(did)
+                    blobs.append(png_encode(img))
+                yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+        return spark.range(n).repartition(CPUS).mapInPandas(run, schema)
+
+    blobs = _png_blobs(200_000).cache()
+    n_imgs = blobs.count()
+    timed(
+        "image_decode_200k",
+        lambda: extract_image_stats(blobs, id_col="doc_id", bin_col="blob").count(),
+        reps=2,
+    )
+    meta["images_decoded_per_sec"] = round(n_imgs / timings["image_decode_200k"], 1)
+    blobs.unpersist()
+
     # --- relational sanity ----------------------------------------------------
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(

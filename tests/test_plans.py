@@ -248,3 +248,34 @@ def test_bucketed_spatial_join_zero_exchange_and_parity(spark, pages_path, tmp_p
         for r in spatial_join(pts, feats, zoom=6, broadcast=False).collect()
     )
     assert got == want and got
+
+
+def test_image_stats_single_mapinpandas_no_exchange(spark, tmp_path):
+    """The media decode pass is embarrassingly parallel: ONE MapInPandas
+    over a 2-column pruned blob scan, zero exchanges (PLANS.md)."""
+    import numpy as np
+
+    from grandine_spark.kernels.media import png_encode
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    path = str(tmp_path / "blobs")
+    blob = png_encode(np.full((4, 5, 3), 7, dtype=np.uint8))
+    spark.createDataFrame(
+        [(i, blob, "extra") for i in range(20)], "doc_id long, blob binary, junk string"
+    ).write.parquet(path)
+
+    out = extract_image_stats(
+        spark.read.parquet(path), id_col="doc_id", bin_col="blob"
+    )
+    plan = plan_of(out)
+    assert not re.findall(r"\bExchange \(\d+\)", plan), plan
+    # exactly one numbered MapInPandas node (formatted plans repeat the
+    # name in the detail section, so count node headers)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    # column pruning: the untouched 'junk' column must not reach the scan
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "junk" not in m.group(1), plan
+    rows = out.collect()
+    assert len(rows) == 20 and all(
+        (r.width, r.height, r.channels, r.mean_px) == (5, 4, 3, 7.0) for r in rows
+    )
