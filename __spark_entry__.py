@@ -534,6 +534,29 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL thumbnail pipeline end-to-end: PNG decode → nearest-neighbor
+    resize to 8x6 → PNG re-encode → decode AGAIN for stats. Constant-fill
+    sources make the resized stats exactly predictable: dims are the
+    target, channels and mean survive resampling — so the oracle checks
+    the whole decode/resize/encode/decode chain from doc_id alone."""
+    from grandine_spark.operators.multimodal import (
+        extract_image_stats,
+        resize_images,
+    )
+
+    blobs = _synth_media(spark, sf_dir, "png")
+    thumbs = resize_images(blobs, out_h=6, out_w=8, id_col="doc_id", bin_col="blob")
+    out = extract_image_stats(thumbs, id_col="doc_id", bin_col="png")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_px",
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by smoothed TF-IDF (ln((N+1)/(df+1))+1),
     deterministic tie-break by token."""
@@ -1641,6 +1664,17 @@ FROM documents
 """
 
 
+def _oracle_thumbnail_stats() -> str:
+    return """
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(6 AS BIGINT) AS height,
+       CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+       CAST(doc_id % 251 AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def _oracle_tfidf() -> str:
     return """
 WITH toks AS (
@@ -1957,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
+        "thumbnail_stats": q_thumbnail_stats,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -2024,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": _oracle_tfidf(),
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),
+        "thumbnail_stats": _oracle_thumbnail_stats(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),
