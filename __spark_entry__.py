@@ -477,7 +477,7 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     def run(batches):
         import numpy as np
 
-        from grandine_spark.kernels.media import png_encode, wav_encode
+        from grandine_spark.kernels.media import gif_encode, png_encode, wav_encode
 
         for pdf in batches:
             ids, blobs = [], []
@@ -488,6 +488,13 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     c = (1, 3, 4)[did % 3]
                     img = np.full((h, w, c), did % 251, dtype=np.uint8)
                     blobs.append(png_encode(img))
+                elif kind == "gif":
+                    w, h = 5 + did % 11, 4 + did % 6
+                    v = did % 251
+                    pal = np.array([[0, 0, 0], [v, v, v]], dtype=np.uint8)
+                    blobs.append(
+                        gif_encode(np.ones((h, w), dtype=np.uint8), pal)
+                    )
                 else:
                     n = 100 + did % 400
                     amp = did % 1000
@@ -531,6 +538,23 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_samples").cast("long").alias("n_samples"),
         "duration_s",
         "rms",
+    )
+
+
+def q_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (LZW + palette, kernels/media.py): a
+    two-entry grayscale palette with constant fill makes the decoded RGB
+    dims/mean exactly predictable from doc_id."""
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    blobs = _synth_media(spark, sf_dir, "gif")
+    out = extract_image_stats(blobs, id_col="doc_id", bin_col="blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_px",
     )
 
 
@@ -1664,6 +1688,17 @@ FROM documents
 """
 
 
+def _oracle_gif_stats() -> str:
+    return """
+SELECT doc_id,
+       5 + doc_id % 11 AS width,
+       4 + doc_id % 6 AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(doc_id % 251 AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def _oracle_thumbnail_stats() -> str:
     return """
 SELECT doc_id,
@@ -1992,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
         "thumbnail_stats": q_thumbnail_stats,
+        "gif_stats": q_gif_stats,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -2060,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),
         "thumbnail_stats": _oracle_thumbnail_stats(),
+        "gif_stats": _oracle_gif_stats(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

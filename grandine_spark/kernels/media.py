@@ -1,11 +1,12 @@
-"""Real media codecs in pure stdlib + numpy: PNG (RFC 2083) and WAV PCM.
+"""Real media codecs in pure stdlib + numpy: PNG (RFC 2083), GIF (87a/89a,
+LZW), and WAV PCM.
 
 The container ships no imaging/AV library, but PNG needs only zlib (stdlib)
-plus the five scanline filters, and WAV PCM is plain struct parsing — so
-these two formats get REAL decoders (and encoders, used by tests and the
-synthetic-media generator). JPEG/video stay honestly stubbed in
-operators/multimodal.py (a conformant JPEG/H.264 decoder is a library, not
-a kernel).
+plus the five scanline filters, GIF is a palette + a ~100-line LZW, and WAV
+PCM is plain struct parsing — so these three formats get REAL decoders (and
+encoders, used by tests and the synthetic-media generator). JPEG/video stay
+honestly stubbed in operators/multimodal.py (a conformant JPEG/H.264
+decoder is a library, not a kernel).
 
 Supported PNG subset (documented, asserted): 8-bit depth, color types
 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. All five row
@@ -166,3 +167,193 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
     if ch and ch > 1:
         a = a.reshape(-1, ch)
     return a, rate
+
+
+# --- GIF (87a/89a, LZW) ----------------------------------------------------
+#
+# GIF is kernel-grade like PNG: a palette + LZW, both fully specified and
+# implementable in numpy/stdlib. Supported subset (asserted): single frame,
+# global color table, interlace supported on decode; the encoder writes
+# non-interlaced GIF87a with a power-of-two global table.
+
+
+def gif_encode(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H,W) uint8 palette indices + (P,3) uint8 palette → GIF87a bytes."""
+    a = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = a.shape
+    p = len(pal)
+    if p < 2 or p > 256 or a.max(initial=0) >= p:
+        raise ValueError("palette must hold 2..256 entries covering all indices")
+    # pad palette to the next power of two >= 2
+    bits = max(1, (p - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[:p] = pal
+    out = [b"GIF87a", struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0),
+           table.tobytes(),
+           struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)]
+    min_code = max(2, bits)
+    out.append(bytes([min_code]))
+    out.append(_lzw_encode(a.ravel(), min_code))
+    out.append(b"\x00;")
+    return b"".join(out)
+
+
+def _lzw_encode(pixels: np.ndarray, min_code: int) -> bytes:
+    """GIF-flavor LZW with sub-block framing."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_code + 1
+    bitbuf = bitlen = 0
+    body = bytearray()
+
+    def emit(code: int):
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            body.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    cur = b""
+    for px in pixels.tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            width += 1
+        if next_code >= 4095:  # reset before the 12-bit ceiling
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = end + 1, min_code + 1
+        cur = bytes([px])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if bitlen:
+        body.append(bitbuf & 0xFF)
+    # 255-byte sub-block framing
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    bitbuf = bitlen = pos = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels and pos <= len(data):
+        while bitlen < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << bitlen
+            bitlen += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitlen -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream ended early")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(buf: bytes) -> np.ndarray:
+    """GIF bytes → uint8 RGB array (H,W,3). First frame only; local color
+    tables and interlace are handled, later frames/extensions skipped."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih, ip = struct.unpack_from("<HHHHB", buf, pos)
+        pos += 9
+        table = global_table
+        if ip & 0x80:
+            n = 2 << (ip & 0x07)
+            table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            data.extend(buf[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code, iw * ih)
+        if ip & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = idx.reshape(ih, iw)
+            out_rows = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, ih, step))
+                out_rows[start::step] = rows[src : src + n_rows]
+                src += n_rows
+            idx = out_rows.ravel()
+        if idx.max(initial=0) >= len(table):
+            raise ValueError("palette index out of range")
+        return table[idx.reshape(ih, iw)]
+    raise ValueError("no image block in GIF")

@@ -177,14 +177,19 @@ def sample_frames(
 
 
 def decode_image(buf: bytes):
-    """REAL image decode for PNG (pure stdlib zlib + numpy — see
-    kernels/media.py); other formats still raise: a conformant JPEG
+    """REAL image decode for PNG and GIF (pure stdlib zlib/LZW + numpy —
+    see kernels/media.py); other formats still raise: a conformant JPEG
     decoder is a library, not a kernel, and none ships in this container."""
-    if bytes(buf[:4]) == b"\x89PNG":
+    b = bytes(buf)
+    if b[:4] == b"\x89PNG":
         from ..kernels.media import png_decode
 
-        return png_decode(bytes(buf))
-    return decode_image_stub(bytes(buf))
+        return png_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from ..kernels.media import gif_decode
+
+        return gif_decode(b)
+    return decode_image_stub(b)
 
 
 IMAGE_STATS_SCHEMA = T.StructType(

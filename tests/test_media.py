@@ -156,3 +156,80 @@ def test_audio_stats_on_spark(spark):
     want_rms = round(float(np.sqrt(np.mean(sine.astype(np.float64) ** 2))), 6)
     assert abs(got["a"].rms - want_rms) < 1e-9
     assert got["b"].rms == 7.0 and got["b"].duration_s == 0.0125
+
+
+# --- GIF -------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=256),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_roundtrip(h, w, p, seed):
+    from grandine_spark.kernels.media import gif_decode, gif_encode
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (p, 3), dtype=np.uint8)
+    idx = rng.integers(0, p, (h, w), dtype=np.uint8)
+    assert (gif_decode(gif_encode(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_lzw_table_reset():
+    """Large random image forces code-width growth AND the 4095 reset."""
+    from grandine_spark.kernels.media import gif_decode, gif_encode
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (128, 256), dtype=np.uint8)
+    assert (gif_decode(gif_encode(idx, pal)) == pal[idx]).all()
+
+
+def test_gif_interlaced_decode():
+    """Rows written in 4-pass interlace order + the interlace flag decode
+    back to the original row order."""
+    from grandine_spark.kernels.media import (
+        _GIF_INTERLACE_PASSES,
+        gif_decode,
+        gif_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (13, 7), dtype=np.uint8)
+    order = [r for start, step in _GIF_INTERLACE_PASSES
+             for r in range(start, 13, step)]
+    buf = bytearray(gif_encode(idx[order], pal))
+    tbl = 2 << (buf[10] & 0x07)
+    flag_at = 13 + tbl * 3 + 9
+    assert buf[flag_at - 9] == 0x2C and buf[flag_at] == 0
+    buf[flag_at] = 0x40
+    assert (gif_decode(bytes(buf)) == pal[idx]).all()
+
+
+def test_gif_skips_extensions_and_rejects_garbage():
+    from grandine_spark.kernels.media import gif_decode, gif_encode
+
+    pal = np.array([[0, 0, 0], [9, 9, 9]], dtype=np.uint8)
+    raw = gif_encode(np.ones((2, 3), dtype=np.uint8), pal)
+    # splice a GIF89a graphic-control extension before the image block
+    tbl = 2 << (raw[10] & 0x07)
+    at = 13 + tbl * 3
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = raw[:at] + ext + raw[at:]
+    assert (gif_decode(spliced) == pal[np.ones((2, 3), dtype=int)]).all()
+    with pytest.raises(ValueError):
+        gif_decode(b"NOTAGIF" + raw)
+
+
+def test_decode_image_dispatches_gif(spark):
+    from grandine_spark.kernels.media import gif_encode
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    pal = np.array([[0, 0, 0], [100, 100, 100]], dtype=np.uint8)
+    blob = gif_encode(np.ones((4, 6), dtype=np.uint8), pal)
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    r = extract_image_stats(df, id_col="doc_id", bin_col="blob").collect()[0]
+    assert (r.width, r.height, r.channels, r.mean_px) == (6, 4, 3, 100.0)
