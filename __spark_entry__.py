@@ -477,7 +477,12 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     def run(batches):
         import numpy as np
 
-        from grandine_spark.kernels.media import gif_encode, png_encode, wav_encode
+        from grandine_spark.kernels.media import (
+            avi_encode,
+            gif_encode,
+            png_encode,
+            wav_encode,
+        )
 
         for pdf in batches:
             ids, blobs = [], []
@@ -495,6 +500,15 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     blobs.append(
                         gif_encode(np.ones((h, w), dtype=np.uint8), pal)
                     )
+                elif kind == "avi":
+                    w, h, nf = 6 + did % 9, 4 + did % 5, 3 + did % 5
+                    fr = np.stack(
+                        [
+                            np.full((h, w, 3), (did * 7 + j * 13) % 251, np.uint8)
+                            for j in range(nf)
+                        ]
+                    )
+                    blobs.append(avi_encode(fr, fps=10))
                 else:
                     n = 100 + did % 400
                     amp = did % 1000
@@ -554,6 +568,26 @@ def q_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("channels").cast("long").alias("channels"),
+        "mean_px",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end (uncompressed AVI, kernels/media.py):
+    each doc gets 3-7 constant-fill frames whose per-frame fill varies with
+    the frame number; sampling 2 evenly spaced frames makes (src_frame,
+    dims, mean) exactly predictable from doc_id — decode, bottom-up BGR
+    de-swizzle, frame indexing, and sampling are all on the hash."""
+    from grandine_spark.operators.multimodal import extract_video_frame_stats
+
+    blobs = _synth_media(spark, sf_dir, "avi")
+    out = extract_video_frame_stats(blobs, id_col="doc_id", bin_col="blob", n_frames=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("src_frame").cast("long").alias("src_frame"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         "mean_px",
     )
 
@@ -1688,6 +1722,26 @@ FROM documents
 """
 
 
+def _oracle_video_frames() -> str:
+    return """
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS frame_idx,
+       CAST(0 AS BIGINT) AS src_frame,
+       6 + doc_id % 9 AS width,
+       4 + doc_id % 5 AS height,
+       CAST((doc_id * 7) % 251 AS DOUBLE) AS mean_px
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS frame_idx,
+       (3 + doc_id % 5) // 2 AS src_frame,
+       6 + doc_id % 9 AS width,
+       4 + doc_id % 5 AS height,
+       CAST((doc_id * 7 + ((3 + doc_id % 5) // 2) * 13) % 251 AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def _oracle_gif_stats() -> str:
     return """
 SELECT doc_id,
@@ -2028,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": q_audio_stats,
         "thumbnail_stats": q_thumbnail_stats,
         "gif_stats": q_gif_stats,
+        "video_frames": q_video_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -2097,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_stats": _oracle_audio_stats(),
         "thumbnail_stats": _oracle_thumbnail_stats(),
         "gif_stats": _oracle_gif_stats(),
+        "video_frames": _oracle_video_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

@@ -1,12 +1,12 @@
 """Real media codecs in pure stdlib + numpy: PNG (RFC 2083), GIF (87a/89a,
-LZW), and WAV PCM.
+LZW), WAV PCM, and uncompressed AVI video.
 
 The container ships no imaging/AV library, but PNG needs only zlib (stdlib)
 plus the five scanline filters, GIF is a palette + a ~100-line LZW, and WAV
-PCM is plain struct parsing — so these three formats get REAL decoders (and
-encoders, used by tests and the synthetic-media generator). JPEG/video stay
-honestly stubbed in operators/multimodal.py (a conformant JPEG/H.264
-decoder is a library, not a kernel).
+PCM / uncompressed AVI are plain struct parsing — so these formats get REAL
+decoders (and encoders, used by tests and the synthetic-media generator).
+JPEG and compressed video stay honestly stubbed in operators/multimodal.py
+(a conformant JPEG/H.264 decoder is a library, not a kernel).
 
 Supported PNG subset (documented, asserted): 8-bit depth, color types
 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. All five row
@@ -357,3 +357,101 @@ def gif_decode(buf: bytes) -> np.ndarray:
             raise ValueError("palette index out of range")
         return table[idx.reshape(ih, iw)]
     raise ValueError("no image block in GIF")
+
+
+# --- AVI (uncompressed RGB, RIFF) ------------------------------------------
+#
+# Uncompressed AVI is the one video container that is kernel-grade: RIFF
+# chunk framing + BITMAPINFOHEADER + raw bottom-up BGR frames ('00db'
+# chunks, BI_RGB). Real frame extraction works on these; compressed video
+# (H.264 etc.) stays stubbed in operators/multimodal.py.
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N,H,W,3) uint8 RGB frames → uncompressed AVI (DIB/BI_RGB) bytes."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError("frames must be (N,H,W,3) uint8")
+    n, h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<10I4H", 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    rows = []
+    pad = b"\x00" * (stride - w * 3)
+    for f in range(n):
+        bgr = a[f, ::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+        rows.append(chunk(b"00db", b"".join(bgr[y].tobytes() + pad for y in range(h))))
+    movi = lst(b"movi", b"".join(rows))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(buf: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed AVI bytes → ((N,H,W,3) uint8 RGB frames, fps). Raises
+    ValueError for compressed streams (anything but BI_RGB 24-bit)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    dims = fps = None
+    bitcount = None
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int):
+        nonlocal dims, fps, bitcount
+        pos = lo
+        while pos + 8 <= hi:
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            data_lo = pos + 8
+            data_hi = data_lo + length
+            if tag == b"LIST":
+                walk(data_lo + 4, data_hi)
+            elif tag == b"avih":
+                f = struct.unpack_from("<14I", buf, data_lo)
+                dims = (f[8], f[9])
+            elif tag == b"strh" and buf[data_lo : data_lo + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, data_lo + 20)
+                if scale:
+                    fps = rate / scale
+            elif tag == b"strf" and bitcount is None:
+                hdr = struct.unpack_from("<IiiHHI", buf, data_lo)
+                bitcount, compression = hdr[4], hdr[5]
+                if compression != 0 or bitcount != 24:
+                    raise ValueError(
+                        f"only uncompressed 24-bit AVI supported "
+                        f"(compression={compression} bits={bitcount})"
+                    )
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[data_lo:data_hi])
+            pos = data_hi + (length % 2)
+
+    walk(12, len(buf))
+    if dims is None or not frames_raw:
+        raise ValueError("truncated AVI (no header or no frames)")
+    w, h = dims
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError("short AVI frame")
+        rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return out, float(fps or 0.0)

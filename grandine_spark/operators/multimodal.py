@@ -3,13 +3,14 @@
 Media ride as opaque ``binary`` columns with typed metadata; all passes are
 mapInPandas over Arrow batches (blobs never touch the driver).
 
-REAL since round 3: PNG decode/resize/re-encode and WAV PCM decode run on
-the pure stdlib+numpy codecs in ``kernels/media.py`` — image stats,
-thumbnailing, and audio stats are genuine end-to-end decodes, oracle-checked
-against independently-predicted dimensions/means. Still honestly STUBBED:
-JPEG/GIF decode and video frame extraction (a conformant JPEG/H.264 decoder
-is a library, not a kernel, and none ships in this container) — those keep
-the deterministic-fake plumbing; swapping in PIL/pyav changes one function.
+REAL since round 3: PNG and GIF decode/resize/re-encode, WAV PCM decode,
+and uncompressed-AVI frame extraction run on the pure stdlib+numpy codecs
+in ``kernels/media.py`` — image stats, thumbnailing, audio stats, and video
+frame stats are genuine end-to-end decodes, oracle-checked against
+independently-predicted dimensions/means. Still honestly STUBBED: JPEG
+decode and compressed-video frames (a conformant JPEG/H.264 decoder is a
+library, not a kernel, and none ships in this container) — those keep the
+deterministic-fake plumbing; swapping in PIL/pyav changes one function.
 """
 
 from __future__ import annotations
@@ -34,7 +35,6 @@ _MAGIC = [
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"\x89PNG", "image/png"),
     (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),
     (b"<htm", "text/html"),
     (b"<HTM", "text/html"),
 ]
@@ -42,6 +42,12 @@ _MAGIC = [
 
 def _sniff(buf: bytes) -> str | None:
     head = buf[:8]
+    if head.startswith(b"RIFF"):
+        # RIFF is a container family: the form type at bytes 8:12 decides
+        kind = buf[8:12]
+        if kind == b"AVI ":
+            return "video/avi"
+        return "audio/wav"
     for magic, mt in _MAGIC:
         if head.startswith(magic):
             return mt
@@ -144,13 +150,22 @@ def sample_frames(
     ``n_frames`` evenly spaced frames per blob, one output row each (the 1→N
     explode happens inside the Arrow batch, no separate explode stage).
 
-    Decode is a DETERMINISTIC FAKE (evenly spaced byte slices stand in for
-    decoded frames — the container ships no video codec; swap ``decode`` for
-    pyav/ffmpeg in deployment). Partitioning, schema, batch shape, and the
-    row-explosion are the real, tested Spark plumbing.
+    REAL for uncompressed AVI (RIFF/BI_RGB — kernels/media.py): evenly
+    spaced frames are decoded and re-encoded as PNG thumbnails. Other
+    containers keep the DETERMINISTIC FAKE (evenly spaced byte slices —
+    compressed video needs a codec library none of which ships here; swap
+    ``decode`` for pyav/ffmpeg in deployment). Partitioning, schema, batch
+    shape, and the row-explosion are the real, tested Spark plumbing.
     """
 
     def decode(buf: bytes) -> list[bytes]:
+        if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+            from ..kernels.media import avi_decode, png_encode
+
+            frames, _fps = avi_decode(buf)
+            total = len(frames)
+            picks = sorted({i * total // n_frames for i in range(n_frames)})
+            return [png_encode(frames[i]) for i in picks]
         n = max(1, len(buf))
         step = max(1, n // n_frames)
         return [bytes(buf[i * step : i * step + 16]) for i in range(n_frames)]
@@ -320,3 +335,57 @@ def extract_audio_stats(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("src_frame", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video_frame_stats(
+    df: DataFrame, id_col: str = "url", bin_col: str = "avi", n_frames: int = 2
+) -> DataFrame:
+    """REAL video decode pass (uncompressed AVI, kernels/media.py):
+    ``n_frames`` evenly spaced source frames per blob → one stats row each
+    (which source frame, dims, mean pixel). The 1→N explode happens inside
+    the Arrow batch; undecodable blobs yield a single NULL-stats row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels.media import avi_decode
+
+        for pdf in batches:
+            ids, idxs, srcs, ws, hs, ms = [], [], [], [], [], []
+            for did, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
+                try:
+                    frames, _fps = avi_decode(bytes(b))
+                    total = len(frames)
+                    picks = sorted({i * total // n_frames for i in range(n_frames)})
+                    for j, src in enumerate(picks):
+                        f = frames[src]
+                        ids.append(did); idxs.append(j); srcs.append(src)
+                        hs.append(f.shape[0]); ws.append(f.shape[1])
+                        ms.append(round(float(f.mean()), 6))
+                except Exception:
+                    ids.append(did); idxs.append(0); srcs.append(None)
+                    ws.append(None); hs.append(None); ms.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "src_frame": pd.array(srcs, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_px": pd.array(ms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)

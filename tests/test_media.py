@@ -233,3 +233,74 @@ def test_decode_image_dispatches_gif(spark):
     df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
     r = extract_image_stats(df, id_col="doc_id", bin_col="blob").collect()[0]
     assert (r.width, r.height, r.channels, r.mean_px) == (6, 4, 3, 100.0)
+
+
+# --- AVI -------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_avi_roundtrip(n, h, w, seed):
+    from grandine_spark.kernels.media import avi_decode, avi_encode
+
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    dec, fps = avi_decode(avi_encode(fr, fps=10))
+    assert fps == 10.0 and (dec == fr).all()
+
+
+def test_avi_rejects_garbage_and_compressed():
+    from grandine_spark.kernels.media import avi_decode, avi_encode
+
+    with pytest.raises(ValueError):
+        avi_decode(b"RIFFxxxxWAVE")  # wrong form type
+    raw = bytearray(avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    at = raw.find(struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 0))
+    raw[at + 16 : at + 20] = b"H264"  # compression field != BI_RGB
+    with pytest.raises(ValueError):
+        avi_decode(bytes(raw))
+
+
+def test_sample_frames_real_avi_path(spark):
+    """AVI blobs take the REAL decode path: sampled frames come back as
+    decodable PNGs of the source frames."""
+    from grandine_spark.kernels.media import avi_encode
+    from grandine_spark.operators.multimodal import sample_frames
+
+    frames = np.stack(
+        [np.full((3, 4, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50, 60)]
+    )
+    df = spark.createDataFrame(
+        [("v", bytearray(avi_encode(frames)))], "url string, html binary"
+    )
+    out = sorted(sample_frames(df, n_frames=3).collect(), key=lambda r: r.frame_idx)
+    # picks = {0*6//3, 1*6//3, 2*6//3} = {0, 2, 4}
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    for r, src in zip(out, (0, 2, 4)):
+        img = png_decode(bytes(r.frame))
+        assert img.shape == (3, 4, 3) and (img == frames[src]).all()
+
+
+def test_video_frame_stats_on_spark(spark):
+    from grandine_spark.kernels.media import avi_encode
+    from grandine_spark.operators.multimodal import extract_video_frame_stats
+
+    frames = np.stack(
+        [np.full((2, 3, 3), v, dtype=np.uint8) for v in (5, 15, 25)]
+    )
+    df = spark.createDataFrame(
+        [("v", bytearray(avi_encode(frames))), ("bad", bytearray(b"nope"))],
+        "url string, avi binary",
+    )
+    rows = extract_video_frame_stats(df, n_frames=2).collect()
+    good = sorted((r for r in rows if r.doc_id == "v"), key=lambda r: r.frame_idx)
+    assert [(r.src_frame, r.width, r.height, r.mean_px) for r in good] == [
+        (0, 3, 2, 5.0), (1, 3, 2, 15.0)
+    ]
+    bad = [r for r in rows if r.doc_id == "bad"][0]
+    assert bad.src_frame is None and bad.mean_px is None
