@@ -500,6 +500,11 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     blobs.append(
                         gif_encode(np.ones((h, w), dtype=np.uint8), pal)
                     )
+                elif kind == "sine":
+                    k = 1 + did % 40
+                    t = np.arange(256)
+                    s = np.round(3000 * np.sin(2 * np.pi * k * t / 256))
+                    blobs.append(wav_encode(s.astype(np.int16), 8000))
                 elif kind == "avi":
                     w, h, nf = 6 + did % 9, 4 + did % 5, 3 + did % 5
                     fr = np.stack(
@@ -569,6 +574,23 @@ def q_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         F.col("channels").cast("long").alias("channels"),
         "mean_px",
+    )
+
+
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DSP end-to-end: a pure sine exactly on FFT bin k = 1+doc_id%40
+    (256 samples @ 8 kHz) survives int16 rounding with its argmax bin
+    intact, so the decoded spectrum's peak bin and frequency are exactly
+    predictable; peak_freq = k*8000/256 = k*31.25 is an exact double."""
+    from grandine_spark.operators.multimodal import extract_audio_spectrum
+
+    blobs = _synth_media(spark, sf_dir, "sine")
+    out = extract_audio_spectrum(blobs, id_col="doc_id", bin_col="blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("peak_bin").cast("long").alias("peak_bin"),
+        "peak_freq_hz",
     )
 
 
@@ -1722,6 +1744,16 @@ FROM documents
 """
 
 
+def _oracle_audio_spectrum() -> str:
+    return """
+SELECT doc_id,
+       CAST(256 AS BIGINT) AS n_samples,
+       1 + doc_id % 40 AS peak_bin,
+       (1 + doc_id % 40) * 31.25 AS peak_freq_hz
+FROM documents
+"""
+
+
 def _oracle_video_frames() -> str:
     return """
 SELECT doc_id,
@@ -2083,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnail_stats": q_thumbnail_stats,
         "gif_stats": q_gif_stats,
         "video_frames": q_video_frames,
+        "audio_spectrum": q_audio_spectrum,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -2153,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "thumbnail_stats": _oracle_thumbnail_stats(),
         "gif_stats": _oracle_gif_stats(),
         "video_frames": _oracle_video_frames(),
+        "audio_spectrum": _oracle_audio_spectrum(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

@@ -304,3 +304,29 @@ def test_video_frame_stats_on_spark(spark):
     ]
     bad = [r for r in rows if r.doc_id == "bad"][0]
     assert bad.src_frame is None and bad.mean_px is None
+
+
+def test_audio_spectrum_on_spark(spark):
+    from grandine_spark.operators.multimodal import extract_audio_spectrum
+
+    n, rate, k = 512, 16000, 37
+    sine = np.round(5000 * np.sin(2 * np.pi * k * np.arange(n) / n)).astype(np.int16)
+    mix = (
+        np.round(3000 * np.sin(2 * np.pi * 10 * np.arange(n) / n))
+        + np.round(1000 * np.sin(2 * np.pi * 50 * np.arange(n) / n))
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            ("pure", bytearray(wav_encode(sine, rate))),
+            ("mix", bytearray(wav_encode(mix, rate))),
+            ("bad", bytearray(b"nope")),
+        ],
+        "url string, wav binary",
+    )
+    got = {r.doc_id: r for r in extract_audio_spectrum(df).collect()}
+    assert got["pure"].peak_bin == k
+    assert abs(got["pure"].peak_freq_hz - k * rate / n) < 1e-9
+    assert got["pure"].peak_ratio > 0.99
+    # the stronger partial wins; its energy share is well under a pure tone's
+    assert got["mix"].peak_bin == 10 and got["mix"].peak_ratio < 0.95
+    assert got["bad"].peak_bin is None and got["bad"].peak_freq_hz is None
