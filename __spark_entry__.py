@@ -480,6 +480,7 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         from grandine_spark.kernels.media import (
             avi_encode,
             gif_encode,
+            jpeg_encode,
             png_encode,
             wav_encode,
         )
@@ -499,6 +500,12 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     pal = np.array([[0, 0, 0], [v, v, v]], dtype=np.uint8)
                     blobs.append(
                         gif_encode(np.ones((h, w), dtype=np.uint8), pal)
+                    )
+                elif kind == "jpeg":
+                    w, h = 6 + did % 10, 5 + did % 7
+                    v = 2 * (did % 125)  # even fill → DC-exact round-trip
+                    blobs.append(
+                        jpeg_encode(np.full((h, w), v, dtype=np.uint8))
                     )
                 elif kind == "sine":
                     k = 1 + did % 40
@@ -567,6 +574,24 @@ def q_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.multimodal import extract_image_stats
 
     blobs = _synth_media(spark, sf_dir, "gif")
+    out = extract_image_stats(blobs, id_col="doc_id", bin_col="blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_px",
+    )
+
+
+def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (huffman + dequant + IDCT,
+    kernels/media.py): a flat grayscale block with an EVEN fill survives
+    the flat-16 quant table exactly (DC = 8(v-128) quantizes losslessly,
+    all AC zero), so decoded dims/mean are exactly predictable."""
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    blobs = _synth_media(spark, sf_dir, "jpeg")
     out = extract_image_stats(blobs, id_col="doc_id", bin_col="blob")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1744,6 +1769,17 @@ FROM documents
 """
 
 
+def _oracle_jpeg_stats() -> str:
+    return """
+SELECT doc_id,
+       6 + doc_id % 10 AS width,
+       5 + doc_id % 7 AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(2 * (doc_id % 125) AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def _oracle_audio_spectrum() -> str:
     return """
 SELECT doc_id,
@@ -2116,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_stats": q_gif_stats,
         "video_frames": q_video_frames,
         "audio_spectrum": q_audio_spectrum,
+        "jpeg_stats": q_jpeg_stats,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -2187,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_stats": _oracle_gif_stats(),
         "video_frames": _oracle_video_frames(),
         "audio_spectrum": _oracle_audio_spectrum(),
+        "jpeg_stats": _oracle_jpeg_stats(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

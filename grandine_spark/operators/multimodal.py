@@ -3,14 +3,15 @@
 Media ride as opaque ``binary`` columns with typed metadata; all passes are
 mapInPandas over Arrow batches (blobs never touch the driver).
 
-REAL since round 3: PNG and GIF decode/resize/re-encode, WAV PCM decode,
-and uncompressed-AVI frame extraction run on the pure stdlib+numpy codecs
-in ``kernels/media.py`` — image stats, thumbnailing, audio stats, and video
-frame stats are genuine end-to-end decodes, oracle-checked against
-independently-predicted dimensions/means. Still honestly STUBBED: JPEG
-decode and compressed-video frames (a conformant JPEG/H.264 decoder is a
-library, not a kernel, and none ships in this container) — those keep the
-deterministic-fake plumbing; swapping in PIL/pyav changes one function.
+REAL since round 3: PNG, GIF, and baseline-JPEG decode/resize/re-encode,
+WAV PCM decode + FFT spectral features, and uncompressed-AVI frame
+extraction run on the pure stdlib+numpy codecs in ``kernels/media.py`` —
+image stats, thumbnailing, audio stats/spectra, and video frame stats are
+genuine end-to-end decodes, oracle-checked against independently-predicted
+dimensions/means/bins. Still honestly STUBBED: progressive JPEG, WebP/TIFF,
+and compressed-video frames (codec libraries, not kernels; none ships in
+this container) — those keep the deterministic-fake plumbing; swapping in
+PIL/pyav changes one function.
 """
 
 from __future__ import annotations
@@ -192,9 +193,9 @@ def sample_frames(
 
 
 def decode_image(buf: bytes):
-    """REAL image decode for PNG and GIF (pure stdlib zlib/LZW + numpy —
-    see kernels/media.py); other formats still raise: a conformant JPEG
-    decoder is a library, not a kernel, and none ships in this container."""
+    """REAL image decode for PNG, GIF, and baseline JPEG (pure stdlib +
+    numpy — see kernels/media.py); formats outside that set (WebP, TIFF,
+    progressive JPEG, ...) still raise via the stub."""
     b = bytes(buf)
     if b[:4] == b"\x89PNG":
         from ..kernels.media import png_decode
@@ -204,6 +205,11 @@ def decode_image(buf: bytes):
         from ..kernels.media import gif_decode
 
         return gif_decode(b)
+    if b[:3] == b"\xff\xd8\xff":
+        from ..kernels.media import jpeg_decode
+
+        img = jpeg_decode(b)
+        return img[:, :, None] if img.ndim == 2 else img
     return decode_image_stub(b)
 
 

@@ -330,3 +330,75 @@ def test_audio_spectrum_on_spark(spark):
     # the stronger partial wins; its energy share is well under a pure tone's
     assert got["mix"].peak_bin == 10 and got["mix"].peak_ratio < 0.95
     assert got["bad"].peak_bin is None and got["bad"].peak_freq_hz is None
+
+
+# --- JPEG ------------------------------------------------------------------
+
+
+def test_jpeg_flat_even_gray_is_exact():
+    from grandine_spark.kernels.media import jpeg_decode, jpeg_encode
+
+    for v in (0, 2, 100, 176, 248):
+        img = np.full((11, 13), v, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(img))
+        assert dec.shape == (11, 13) and (dec == v).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_within_quant_error(h, w, color, seed):
+    """Lossy round-trip: smooth (low-frequency) content reconstructs within
+    a small bound under the flat-16 quant table."""
+    from grandine_spark.kernels.media import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220)
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = (base + 3.0 * np.sin(yy / 5) + 3.0 * np.cos(xx / 7)).astype(np.uint8)
+    img = np.stack([smooth] * 3, axis=2) if color else smooth
+    dec = jpeg_decode(jpeg_encode(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_restart_markers_decode_identically():
+    from grandine_spark.kernels.media import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 33), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(img))
+    for ri in (1, 3, 7):
+        assert (jpeg_decode(jpeg_encode(img, restart_interval=ri)) == base).all()
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from grandine_spark.kernels.media import jpeg_decode, jpeg_encode
+
+    raw = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+    at = raw.find(b"\xff\xc0")
+    raw[at + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(raw))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01nope")
+
+
+def test_image_stats_dispatches_jpeg(spark):
+    from grandine_spark.kernels.media import jpeg_encode
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    gray = np.full((5, 9), 200, dtype=np.uint8)
+    rgb = np.zeros((6, 4, 3), dtype=np.uint8)
+    rgb[:] = (128, 128, 128)  # neutral: Y=128, chroma=128 -> exact round-trip
+    df = spark.createDataFrame(
+        [("g", bytearray(jpeg_encode(gray))), ("c", bytearray(jpeg_encode(rgb)))],
+        "url string, png binary",
+    )
+    got = {r.doc_id: r for r in extract_image_stats(df).collect()}
+    assert (got["g"].width, got["g"].height, got["g"].channels, got["g"].mean_px) == (9, 5, 1, 200.0)
+    assert (got["c"].width, got["c"].height, got["c"].channels, got["c"].mean_px) == (4, 6, 3, 128.0)
