@@ -512,15 +512,19 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     t = np.arange(256)
                     s = np.round(3000 * np.sin(2 * np.pi * k * t / 256))
                     blobs.append(wav_encode(s.astype(np.int16), 8000))
-                elif kind == "avi":
+                elif kind in ("avi", "mjpeg_avi"):
                     w, h, nf = 6 + did % 9, 4 + did % 5, 3 + did % 5
+                    if kind == "avi":
+                        fills = [(did * 7 + j * 13) % 251 for j in range(nf)]
+                        codec = "rgb"
+                    else:
+                        # even neutral-gray fills survive MJPEG exactly
+                        fills = [2 * ((did * 3 + j * 7) % 125) for j in range(nf)]
+                        codec = "mjpg"
                     fr = np.stack(
-                        [
-                            np.full((h, w, 3), (did * 7 + j * 13) % 251, np.uint8)
-                            for j in range(nf)
-                        ]
+                        [np.full((h, w, 3), v, np.uint8) for v in fills]
                     )
-                    blobs.append(avi_encode(fr, fps=10))
+                    blobs.append(avi_encode(fr, fps=10, codec=codec))
                 else:
                     n = 100 + did % 400
                     amp = did % 1000
@@ -580,6 +584,24 @@ def q_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("channels").cast("long").alias("channels"),
+        "mean_px",
+    )
+
+
+def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode end-to-end: MJPEG AVI (one baseline
+    JPEG per frame); even neutral-gray fills quantize losslessly, so the
+    sampled frames' stats are exactly predictable like `video_frames`."""
+    from grandine_spark.operators.multimodal import extract_video_frame_stats
+
+    blobs = _synth_media(spark, sf_dir, "mjpeg_avi")
+    out = extract_video_frame_stats(blobs, id_col="doc_id", bin_col="blob", n_frames=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("src_frame").cast("long").alias("src_frame"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
         "mean_px",
     )
 
@@ -1769,6 +1791,26 @@ FROM documents
 """
 
 
+def _oracle_mjpeg_frames() -> str:
+    return """
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS frame_idx,
+       CAST(0 AS BIGINT) AS src_frame,
+       6 + doc_id % 9 AS width,
+       4 + doc_id % 5 AS height,
+       CAST(2 * ((doc_id * 3) % 125) AS DOUBLE) AS mean_px
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS frame_idx,
+       (3 + doc_id % 5) // 2 AS src_frame,
+       6 + doc_id % 9 AS width,
+       4 + doc_id % 5 AS height,
+       CAST(2 * ((doc_id * 3 + ((3 + doc_id % 5) // 2) * 7) % 125) AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def _oracle_jpeg_stats() -> str:
     return """
 SELECT doc_id,
@@ -2153,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_spectrum": q_audio_spectrum,
         "jpeg_stats": q_jpeg_stats,
+        "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
         "focal_mean": q_focal_mean,
@@ -2225,6 +2268,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _oracle_video_frames(),
         "audio_spectrum": _oracle_audio_spectrum(),
         "jpeg_stats": _oracle_jpeg_stats(),
+        "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),
         "focal_mean": _oracle_focal_mean(),

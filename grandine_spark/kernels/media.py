@@ -361,19 +361,26 @@ def gif_decode(buf: bytes) -> np.ndarray:
     raise ValueError("no image block in GIF")
 
 
-# --- AVI (uncompressed RGB, RIFF) ------------------------------------------
+# --- AVI (RIFF video: uncompressed RGB or MJPEG) ---------------------------
 #
-# Uncompressed AVI is the one video container that is kernel-grade: RIFF
-# chunk framing + BITMAPINFOHEADER + raw bottom-up BGR frames ('00db'
-# chunks, BI_RGB). Real frame extraction works on these; compressed video
-# (H.264 etc.) stays stubbed in operators/multimodal.py.
+# AVI is kernel-grade for two codecs: RIFF chunk framing +
+# BITMAPINFOHEADER with raw bottom-up BGR frames ('00db', BI_RGB), or
+# MJPEG ('00dc' chunks that are each a whole baseline JPEG — decoded by
+# this module's own jpeg codec). Inter-frame codecs (H.264 etc.) stay
+# stubbed in operators/multimodal.py.
+
+_MJPG = 0x47504A4D  # 'MJPG' little-endian fourcc in biCompression
 
 
-def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(N,H,W,3) uint8 RGB frames → uncompressed AVI (DIB/BI_RGB) bytes."""
+def avi_encode(frames: np.ndarray, fps: int = 10, codec: str = "rgb") -> bytes:
+    """(N,H,W,3) uint8 RGB frames → AVI bytes. codec='rgb' writes
+    uncompressed DIB/BI_RGB; codec='mjpg' writes one baseline JPEG per
+    frame (MJPEG)."""
     a = np.asarray(frames, dtype=np.uint8)
     if a.ndim != 4 or a.shape[3] != 3:
         raise ValueError("frames must be (N,H,W,3) uint8")
+    if codec not in ("rgb", "mjpg"):
+        raise ValueError("codec must be 'rgb' or 'mjpg'")
     n, h, w, _ = a.shape
     stride = (w * 3 + 3) & ~3
     frame_size = stride * h
@@ -386,38 +393,46 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
     def lst(kind: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", kind + payload)
 
+    mjpg = codec == "mjpg"
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
         frame_size, w, h, 0, 0, 0, 0,
     )
-    strh = b"vids" + b"DIB " + struct.pack(
+    strh = b"vids" + (b"MJPG" if mjpg else b"DIB ") + struct.pack(
         "<10I4H", 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0,
         0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG if mjpg else 0,
+        frame_size, 0, 0, 0, 0,
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
 
     rows = []
     pad = b"\x00" * (stride - w * 3)
     for f in range(n):
-        bgr = a[f, ::-1, :, ::-1]  # bottom-up rows, RGB→BGR
-        rows.append(chunk(b"00db", b"".join(bgr[y].tobytes() + pad for y in range(h))))
+        if mjpg:
+            rows.append(chunk(b"00dc", jpeg_encode(a[f])))
+        else:
+            bgr = a[f, ::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+            rows.append(chunk(b"00db", b"".join(bgr[y].tobytes() + pad for y in range(h))))
     movi = lst(b"movi", b"".join(rows))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def avi_decode(buf: bytes) -> tuple[np.ndarray, float]:
-    """Uncompressed AVI bytes → ((N,H,W,3) uint8 RGB frames, fps). Raises
-    ValueError for compressed streams (anything but BI_RGB 24-bit)."""
+    """AVI bytes → ((N,H,W,3) uint8 RGB frames, fps). Handles BI_RGB
+    (uncompressed 24-bit) and MJPEG streams; other codecs raise."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     dims = fps = None
     bitcount = None
+    mjpg = False
     frames_raw: list[bytes] = []
 
     def walk(lo: int, hi: int):
-        nonlocal dims, fps, bitcount
+        nonlocal dims, fps, bitcount, mjpg
         pos = lo
         while pos + 8 <= hi:
             tag = buf[pos : pos + 4]
@@ -436,9 +451,11 @@ def avi_decode(buf: bytes) -> tuple[np.ndarray, float]:
             elif tag == b"strf" and bitcount is None:
                 hdr = struct.unpack_from("<IiiHHI", buf, data_lo)
                 bitcount, compression = hdr[4], hdr[5]
-                if compression != 0 or bitcount != 24:
+                if compression == _MJPG:
+                    mjpg = True
+                elif compression != 0 or bitcount != 24:
                     raise ValueError(
-                        f"only uncompressed 24-bit AVI supported "
+                        f"only BI_RGB 24-bit or MJPEG AVI supported "
                         f"(compression={compression} bits={bitcount})"
                     )
             elif tag in (b"00db", b"00dc"):
@@ -449,13 +466,21 @@ def avi_decode(buf: bytes) -> tuple[np.ndarray, float]:
     if dims is None or not frames_raw:
         raise ValueError("truncated AVI (no header or no frames)")
     w, h = dims
-    stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
     for i, raw in enumerate(frames_raw):
-        if len(raw) < stride * h:
-            raise ValueError("short AVI frame")
-        rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
-        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        if mjpg:
+            img = jpeg_decode(bytes(raw))
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[:2] != (h, w):
+                raise ValueError("MJPEG frame dims disagree with AVI header")
+            out[i] = img
+        else:
+            if len(raw) < stride * h:
+                raise ValueError("short AVI frame")
+            rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
+            out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
     return out, float(fps or 0.0)
 
 

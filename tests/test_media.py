@@ -402,3 +402,24 @@ def test_image_stats_dispatches_jpeg(spark):
     got = {r.doc_id: r for r in extract_image_stats(df).collect()}
     assert (got["g"].width, got["g"].height, got["g"].channels, got["g"].mean_px) == (9, 5, 1, 200.0)
     assert (got["c"].width, got["c"].height, got["c"].channels, got["c"].mean_px) == (4, 6, 3, 128.0)
+
+
+def test_avi_mjpeg_roundtrip():
+    from grandine_spark.kernels.media import avi_decode, avi_encode
+
+    # neutral-gray even fills survive MJPEG exactly (flat quant, chroma 128)
+    fr = np.stack([np.full((8, 8, 3), v, np.uint8) for v in (64, 128, 200)])
+    dec, fps = avi_decode(avi_encode(fr, fps=5, codec="mjpg"))
+    assert fps == 5.0 and (dec == fr).all()
+    # smooth content stays within quant error
+    yy, xx = np.mgrid[0:16, 0:12]
+    fr2 = np.stack(
+        [
+            (100 + 3 * np.sin(yy / 4 + k) + 3 * np.cos(xx / 5))
+            .astype(np.uint8)[:, :, None]
+            .repeat(3, 2)
+            for k in range(4)
+        ]
+    )
+    dec2, _ = avi_decode(avi_encode(fr2, codec="mjpg"))
+    assert np.abs(dec2.astype(int) - fr2.astype(int)).max() <= 8
