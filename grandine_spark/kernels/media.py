@@ -710,12 +710,43 @@ class _RestartMarker(Exception):
         self.marker = marker
 
 
-def _huff_read(rd: _BitReader, table: dict) -> int:
+class _HuffTable:
+    """Decode table: 256-entry first level for codes ≤ 8 bits (one peek +
+    one drop — covers every code this module's encoder emits and the vast
+    majority of standard-table codes), (code,length) dict fallback for
+    longer codes."""
+
+    def __init__(self, codes: dict):
+        self.by_code = {(c, ln): s for s, (c, ln) in codes.items()}
+        self.fast = [None] * 256
+        for s, (c, ln) in codes.items():
+            if ln <= 8:
+                base = c << (8 - ln)
+                for suffix in range(1 << (8 - ln)):
+                    self.fast[base | suffix] = (s, ln)
+
+
+def _huff_read(rd: _BitReader, table: _HuffTable) -> int:
+    if rd.nbits >= 8 or rd.pos < len(rd.buf):
+        try:
+            while rd.nbits < 8:
+                rd._fill()
+            hit = table.fast[(rd.acc >> (rd.nbits - 8)) & 0xFF]
+            if hit is not None:
+                sym, ln = hit
+                rd.nbits -= ln
+                rd.acc &= (1 << rd.nbits) - 1
+                return sym
+        except _RestartMarker:
+            raise
+        except ValueError:
+            pass  # marker inside a <8-bit tail: fall through to bit-by-bit
     code, length = 0, 0
+    by_code = table.by_code
     while length < 17:
         code = (code << 1) | rd.bits(1)
         length += 1
-        sym = table.get((code, length))
+        sym = by_code.get((code, length))
         if sym is not None:
             return sym
     raise ValueError("bad huffman code")
@@ -767,7 +798,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 n = sum(counts)
                 syms = list(body[bpos + 17 : bpos + 17 + n])
                 codes = _canonical_codes(counts, syms)
-                htables[(tc, th)] = {(c, ln): s for s, (c, ln) in codes.items()}
+                htables[(tc, th)] = _HuffTable(codes)
                 bpos += 17 + n
         elif marker == 0xC0:
             _prec, ih, iw, nf = struct.unpack_from(">BHHB", body, 0)
