@@ -87,25 +87,28 @@ def _flagship(spark, pages_path: str, limit: int | None = None):
     return spatial_join(geocode_pages(pages), feats, zoom=7).count()
 
 
+def _cpu_stat_snapshot() -> dict[int, tuple[int, int]]:
+    """Per-CPU (idle+iowait, total) jiffies from /proc/stat — the one
+    definition both idle_cpus and wait_for_quiet delta against."""
+    vals = {}
+    for line in open("/proc/stat"):
+        if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+            parts = line.split()
+            cpu = int(parts[0][3:])
+            idle = int(parts[4]) + int(parts[5])
+            total = sum(int(x) for x in parts[1:])
+            vals[cpu] = (idle, total)
+    return vals
+
+
 def idle_cpus(n: int, sample_s: float = 1.0) -> list[int]:
     """The n most-idle CPUs right now (per /proc/stat deltas). The host is a
     shared VM where OTHER tenants pin to shifting CPU ranges — a static mask
     measured 22-60% slow when it overlapped a busy range. Sampling just
     before each run adapts the mask to wherever the quiet CPUs are."""
-    def snap():
-        vals = {}
-        for line in open("/proc/stat"):
-            if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
-                parts = line.split()
-                cpu = int(parts[0][3:])
-                idle = int(parts[4]) + int(parts[5])
-                total = sum(int(x) for x in parts[1:])
-                vals[cpu] = (idle, total)
-        return vals
-
-    a = snap()
+    a = _cpu_stat_snapshot()
     time.sleep(sample_s)
-    b = snap()
+    b = _cpu_stat_snapshot()
     frac = {
         c: (b[c][0] - a[c][0]) / max(1, b[c][1] - a[c][1]) for c in a if c in b
     }
@@ -124,16 +127,9 @@ def wait_for_quiet(min_idle: float = 0.85, max_wait_s: float = 300.0) -> bool:
     load, more samples still beat fewer)."""
     t0 = time.time()
     while True:
-        def snap():
-            vals = {}
-            for line in open("/proc/stat"):
-                if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
-                    p = line.split()
-                    vals[int(p[0][3:])] = (int(p[4]) + int(p[5]), sum(int(x) for x in p[1:]))
-            return vals
-        a = snap()
+        a = _cpu_stat_snapshot()
         time.sleep(1.0)
-        b = snap()
+        b = _cpu_stat_snapshot()
         idle = sum(b[c][0] - a[c][0] for c in a) / max(
             1, sum(b[c][1] - a[c][1] for c in a)
         )
@@ -181,7 +177,7 @@ def run_flagship_subprocess(
         # adaptive min-of-reps, same logic as timed(): extend up to reps+2
         # while the two best samples disagree >25%% (a noise episode ate one)
         "times = [];\n"
-        "while len(times) < %d or (len(times) < %d"
+        "while len(times) < %d or (len(times) >= 2 and len(times) < %d"
         " and sorted(times)[1] / sorted(times)[0] - 1 > 0.25):\n"
         "    t0 = time.time(); n = bench._flagship(spark, %r); times.append(time.time() - t0)\n"
         "print(json.dumps({'elapsed': min(times), 'rows': n})); spark.stop()"

@@ -737,10 +737,13 @@ def _huff_read(rd: _BitReader, table: _HuffTable) -> int:
                 rd.nbits -= ln
                 rd.acc &= (1 << rd.nbits) - 1
                 return sym
-        except _RestartMarker:
-            raise
-        except ValueError:
-            pass  # marker inside a <8-bit tail: fall through to bit-by-bit
+        except (_RestartMarker, ValueError):
+            # marker inside a <8-bit tail: the final code(s) of an interval
+            # can fit wholly in the buffered bits, so fall through to the
+            # bit-by-bit path; if the code truly straddles the marker,
+            # rd.bits() re-raises _RestartMarker at the right moment (the
+            # reader leaves the marker unconsumed, so raising is repeatable)
+            pass
     code, length = 0, 0
     by_code = table.by_code
     while length < 17:
@@ -771,6 +774,11 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         if buf[pos] != 0xFF:
             pos += 1
             continue
+        # JPEG allows any number of 0xFF fill bytes before a marker (B.1.1.2)
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(buf):
+            break
         marker = buf[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

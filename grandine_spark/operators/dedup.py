@@ -218,12 +218,15 @@ def line_dedup(
     every line was seen earlier comes back with empty text, not dropped —
     downstream filters decide its fate.
 
-    Scale (100 TB): two shuffles, both inherent — one on the line text for
-    the first-occurrence rank (window row_number; identical lines must
-    meet), one on the doc id to reassemble. No driver participation, no
-    collect; per-window state is a single counter. The skew case (one
-    boilerplate line in 10^9 docs) is bounded because row_number streams
-    the partition — nothing is buffered per frame."""
+    Scale (100 TB): ONE scan and two shuffles, both inherent — one on the
+    line text for the first-occurrence rank (window row_number; identical
+    lines must meet), one on the doc id to reassemble. Dropped lines ride
+    to the reassembly as a keep flag instead of being filtered, so
+    n_lines_total comes from the same groupBy — no second corpus scan and
+    no doc_id join. No driver participation, no collect; per-window state
+    is a single counter. The skew case (one boilerplate line in 10^9 docs)
+    is bounded because row_number streams the partition — nothing is
+    buffered per frame."""
     import re
 
     from pyspark.sql import Window
@@ -234,29 +237,24 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), pat, -1)).alias("line_no", "line"),
     )
     w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("line_no"))
-    kept = lines.withColumn("_rn", F.row_number().over(w)).filter(
-        (F.length("line") < min_chars) | (F.col("_rn") == 1)
+    flagged = lines.withColumn(
+        "_keep",
+        (F.length("line") < min_chars) | (F.row_number().over(w) == 1),
     )
-    reassembled = kept.groupBy(id_col).agg(
+    # collect_list skips the NULLs the when() leaves for dropped lines, so
+    # only kept lines are buffered/sorted; counts aggregate the full set
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("line_no", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             sep,
         ).alias("text"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), pat, -1)).cast("long").alias("n_lines_total"),
-    )
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text", F.lit("")).alias("text"),
-            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
-            "n_lines_total",
-        )
+        F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+        F.count(F.lit(1)).alias("n_lines_total"),
     )

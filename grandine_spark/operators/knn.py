@@ -142,7 +142,12 @@ def knn(
                 F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
             ).alias("dist_m"),
         )
-        .filter(F.col("dist_m") <= F.col("q_d"))
+        # relative slack: q_d comes from numpy (arcsin form), dist_m from
+        # Catalyst (atan2 form) — mathematically equal but up to a few ulps
+        # apart, and a true k-th neighbor can sit exactly ON the bound (it
+        # defines it); without slack it could be dropped by cross-engine
+        # rounding. 1e-9 relative ≈ 6 mm at Earth scale: keeps the prune.
+        .filter(F.col("dist_m") <= F.col("q_d") * (1.0 + 1e-9))
         .drop("q_d")
     )
     w = Window.partitionBy("_qid").orderBy(F.col("dist_m").asc(), F.col("_pid").asc())

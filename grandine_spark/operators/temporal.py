@@ -54,7 +54,11 @@ def asof_join(
     # right rows sort before left at equal ts for inclusive (<=) semantics,
     # after left for strict (<)
     right_side = 0 if not strict else 2
-    r = right.select(
+    # SQL join semantics: NULL keys never compare equal (DuckDB's ASOF JOIN
+    # leaves NULL-key left rows unmatched), and a NULL right_ts precedes
+    # nothing — drop both here; otherwise partitionBy would co-group the
+    # NULLs and NULL _ts would sort before (hence "precede") every left row.
+    r = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(right_side).alias("_side"),

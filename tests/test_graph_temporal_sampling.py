@@ -406,3 +406,33 @@ def test_tfidf_top_terms(spark):
     assert abs(out[(1, "common")][0] - round(2 * idf(3), 6)) < 1e-9
     assert out[(1, "common")][1] == 1 and out[(1, "rare")][1] == 2
     assert out[(3, "other")][1] == 1  # rare beats the ubiquitous token
+
+
+def test_asof_null_keys_and_null_ts_never_match(spark):
+    """SQL join semantics: NULL keys never compare equal (DuckDB's ASOF JOIN
+    leaves NULL-key left rows unmatched), and a right row with NULL rts
+    precedes nothing. Regression: partitionBy co-grouped the NULL keys so
+    NULL-key rows matched each other."""
+    from grandine_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-01 00:05:00")),
+            (2, 10, _ts("2024-01-01 00:05:00")),
+            (3, 10, None),
+        ],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, None, _ts("2024-01-01 00:03:00"), "nullkey"),
+            (101, 10, _ts("2024-01-01 00:02:00"), "ok"),
+            (102, 10, None, "nullts"),
+        ],
+        "rid long, k long, rts timestamp, tag string",
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ["rid", "tag"], right_seq="rid")
+    got = {r.eid: (r.rid, r.tag) for r in out.collect()}
+    # NULL-key left row: unmatched; NULL-ts left row: nothing precedes it;
+    # the valid pair matches the non-NULL-ts right row only
+    assert got == {1: (None, None), 2: (101, "ok"), 3: (None, None)}

@@ -451,3 +451,55 @@ def test_sample_frames_short_avi_keeps_cardinality(spark):
     assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
     vals = [int(png_decode(bytes(r.frame))[0, 0, 0]) for r in rows]
     assert vals == [10, 10, 20, 20]
+
+
+def test_jpeg_short_eob_tables_with_restarts():
+    """Third-party baseline JPEGs (e.g. camera/MJPEG output with the Annex-K
+    tables) give EOB a short code; when an interval's final code fits wholly
+    in the sub-8-bit buffered tail before a restart marker, the decoder must
+    decode it from the tail rather than bailing on the marker. Regression:
+    the huffman fast path re-raised _RestartMarker and 51/180 such streams
+    failed to decode."""
+    import grandine_spark.kernels.media as media
+
+    orig_spec = media._huff_spec
+
+    def short_eob_spec():
+        (dc_counts, dc_syms), _ = orig_spec()
+        ac_syms = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ]
+        ac_counts = [0] * 16
+        ac_counts[3] = 1  # EOB: one 4-bit code (Kraft: 1/16 + 161/512 < 1)
+        ac_counts[8] = len(ac_syms) - 1  # everything else: 9-bit
+        return (dc_counts, dc_syms), (ac_counts, ac_syms)
+
+    rng = np.random.default_rng(7)
+    media._huff_spec = short_eob_spec
+    try:
+        for ri in (1, 2, 3):
+            for _ in range(20):
+                img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+                short = media.jpeg_decode(media.jpeg_encode(img, restart_interval=ri))
+                media._huff_spec = orig_spec
+                std = media.jpeg_decode(media.jpeg_encode(img, restart_interval=ri))
+                media._huff_spec = short_eob_spec
+                # same coefficients, different entropy coding → same pixels
+                assert np.array_equal(short, std)
+    finally:
+        media._huff_spec = orig_spec
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """JPEG B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    the header scan must skip them instead of desyncing on marker==0xFF."""
+    from grandine_spark.kernels.media import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    buf = jpeg_encode(img)
+    ref = jpeg_decode(buf)
+    for marker, n_fill in ((b"\xff\xdb", 1), (b"\xff\xc4", 3), (b"\xff\xda", 2)):
+        idx = buf.find(marker)
+        padded = buf[:idx] + b"\xff" * n_fill + buf[idx:]
+        assert np.array_equal(jpeg_decode(padded), ref)

@@ -159,11 +159,9 @@ def test_asof_join_single_exchange_no_python(spark, tmp_path):
         "k", F.col("ts").alias("rts"), F.col("eid").alias("rid")
     )
     plan = plan_of(asof_join(left, right, "k", "ts", "rts", ["rid"], right_seq="rid"))
-    exchanges = {
-        m
-        for m in re.findall(r"Exchange hashpartitioning\(_k#\d+", plan)
-    }
     assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+    # and the single exchange is ON the key, not something AQE invented
+    assert re.findall(r"hashpartitioning\(_k#\d+", plan), plan
     assert "EvalPython" not in plan
     assert "Window" in plan
 
@@ -217,8 +215,9 @@ def test_line_dedup_two_exchanges_no_python(spark, pages_path):
         F.col("url").alias("doc_id"), F.col("text")
     )
     plan = plan_of(line_dedup(pages))
-    assert len(re.findall(r"\bExchange \(\d+\)", plan)) <= 3, plan
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 2, plan
     assert "EvalPython" not in plan
+    assert "Join" not in plan  # totals come from the reassembly groupBy
 
 
 def test_bucketed_spatial_join_zero_exchange_and_parity(spark, pages_path, tmp_path):
