@@ -1013,6 +1013,40 @@ def q_tiles_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tiling's work-list detector (operators/tiling.py
+    changed_tiles): per-cell md5-sum digests of two feature-table versions
+    (old = docs with doc_id % 5 != 0, new = all docs), full-outer joined,
+    emitting only cells whose tile bytes would differ. The oracle derives
+    the same set independently from pure per-cell COUNT set-semantics
+    (old ⊂ new ⟹ count equality ⟺ set equality); the digest path itself is
+    additionally byte-identity-tested against full rebuilds in
+    tests/test_tiling_extras.py."""
+    from grandine_spark.operators.tiling import changed_tiles
+
+    feats = _point_features(spark, sf_dir)
+    old = feats.filter(F.col("feature_id") % 5 != 0)
+    return changed_tiles(old, feats, [7]).select(
+        "tile_z", "tile_x", "tile_y", "status"
+    )
+
+
+def _oracle_changed_cells() -> str:
+    tx, ty = _tile_sql("lon", "lat", 7)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+newc AS (SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n
+         FROM pts GROUP BY 1, 2),
+oldc AS (SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n
+         FROM pts WHERE doc_id % 5 <> 0 GROUP BY 1, 2)
+SELECT 7 AS tile_z, newc.tile_x, newc.tile_y,
+       CASE WHEN oldc.tile_x IS NULL THEN 'added' ELSE 'changed' END AS status
+FROM newc LEFT JOIN oldc
+  ON newc.tile_x = oldc.tile_x AND newc.tile_y = oldc.tile_y
+WHERE oldc.tile_x IS NULL OR newc.n <> oldc.n
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary blobs (documents text as the stand-in
     media column): 4 deterministic 16-byte frames per doc via mapInPandas."""
@@ -2152,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts": q_cell_counts,
         "cell_downsample": q_cell_downsample,
         "tiles_meta": q_tiles_meta,
+        "changed_cells": q_changed_cells,
         "coverage": q_coverage,
         "rasterize_areas": q_rasterize_areas,
         "spatial_join": q_spatial_join,
@@ -2220,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts": _oracle_cell_counts(),
         "cell_downsample": _oracle_cell_downsample(),
         "tiles_meta": _oracle_tiles_meta(),
+        "changed_cells": _oracle_changed_cells(),
         "coverage": _oracle_coverage(),
         "rasterize_areas": _oracle_rasterize_areas(),
         "html_extract": _oracle_html_extract(),

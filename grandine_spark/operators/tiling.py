@@ -230,6 +230,45 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
     return encode_batch.asNondeterministic()
 
 
+def _coverage_via_anchors(
+    features: DataFrame, z: int, az: int, anchors: DataFrame
+) -> DataFrame:
+    """Coverage of ``features`` at zoom ``z``, restricted to cells inside
+    the (disjoint) anchor cells at coarse zoom ``az`` — a two-level explode:
+    anchor cells (few per feature) → broadcast hash semi-join against the
+    changed anchors → fine cells clipped to each surviving anchor's extent.
+    All native exprs (sequence/explode/shift), one whole-stage-codegen span,
+    no nested-loop joins, no duplicate pairs (anchors partition the plane).
+    ``anchors`` columns: (ax bigint, ay bigint); az <= z required."""
+    f = renderable_at(features, z)
+    fx1, fy1, fx2, fy2 = TX.coverage_xy(
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z
+    )
+    f = (
+        f.withColumn("_fx1", fx1).withColumn("_fy1", fy1)
+        .withColumn("_fx2", fx2).withColumn("_fy2", fy2)
+    )
+    shift = z - az
+    # anchor range = fine range >> shift (cell nesting)
+    f = f.withColumn(
+        "ax", F.explode(F.sequence(F.shiftright("_fx1", shift), F.shiftright("_fx2", shift)))
+    ).withColumn(
+        "ay", F.explode(F.sequence(F.shiftright("_fy1", shift), F.shiftright("_fy2", shift)))
+    )
+    f = f.join(F.broadcast(anchors), ["ax", "ay"], "left_semi")
+    # fine cells inside this anchor ∩ the feature's own coverage range
+    lo_x = F.greatest(F.col("_fx1"), F.shiftleft("ax", shift))
+    hi_x = F.least(F.col("_fx2"), F.shiftleft(F.col("ax") + 1, shift) - 1)
+    lo_y = F.greatest(F.col("_fy1"), F.shiftleft("ay", shift))
+    hi_y = F.least(F.col("_fy2"), F.shiftleft(F.col("ay") + 1, shift) - 1)
+    return (
+        f.withColumn("tile_x", F.explode(F.sequence(lo_x, hi_x)))
+        .withColumn("tile_y", F.explode(F.sequence(lo_y, hi_y)))
+        .withColumn("tile_z", F.lit(z))
+        .drop("_fx1", "_fy1", "_fx2", "_fy2", "ax", "ay")
+    )
+
+
 def build_tiles(
     features: DataFrame,
     zooms: list[int],
@@ -237,6 +276,8 @@ def build_tiles(
     simplify: bool = False,
     codec: str = "mvt",
     max_features_per_tile: int | None = None,
+    only_cells: DataFrame | None = None,
+    anchor_cells: dict[int, "tuple[int, DataFrame]"] | None = None,
 ) -> DataFrame:
     """features → MVT tiles at the given zoom levels.
 
@@ -251,17 +292,48 @@ def build_tiles(
     """
     per_zoom = []
     for z in zooms:
-        cov = coverage_at(features, z).withColumn(
-            "layer_name", TX.layer_route(F.col("props"))
-        )
+        if anchor_cells is not None:
+            # incremental mode: hierarchical coverage — explode to the
+            # coarse ANCHOR cells first (cheap: a handful per feature),
+            # hash-semi-join against the changed anchors, then explode only
+            # the fine cells INSIDE surviving anchors. Without this, a
+            # deep-zoom explode of the whole corpus runs just to be
+            # semi-joined away (measured at ~the full rebuild's cost on a
+            # 1% delta); with it the fine explode volume tracks the delta.
+            # Anchors are disjoint, so no duplicate (feature, cell) pairs.
+            if z not in anchor_cells:
+                continue  # no work cell at this zoom: skip the branch
+            az, anchors = anchor_cells[z]
+            cov = _coverage_via_anchors(features, z, az, anchors)
+        else:
+            cov = coverage_at(features, z)
+        cov = cov.withColumn("layer_name", TX.layer_route(F.col("props")))
         per_zoom.append(
             cov.select(
                 "tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "wkb", "props"
             )
         )
+    if not per_zoom:
+        return features.sparkSession.createDataFrame([], TILES_SCHEMA)
     all_cov = per_zoom[0]
     for p in per_zoom[1:]:
         all_cov = all_cov.unionByName(p)
+
+    if only_cells is not None:
+        # exact restriction to the work cells. The list is delta-sized —
+        # callers pass a LocalRelation (collected work list), so this is a
+        # broadcast hash semi-join with no sub-plan to re-evaluate.
+        all_cov = all_cov.join(
+            F.broadcast(
+                only_cells.select(
+                    F.col("tile_z").cast("int").alias("tile_z"),
+                    F.col("tile_x").cast("bigint").alias("tile_x"),
+                    F.col("tile_y").cast("bigint").alias("tile_y"),
+                )
+            ),
+            ["tile_z", "tile_x", "tile_y"],
+            "left_semi",
+        )
 
     # Pin the tile shuffle's partition count (REPARTITION_BY_NUM): AQE
     # coalesces post-shuffle partitions by BYTE size, and tile groups are
@@ -319,6 +391,204 @@ def build_tiles(
         )
         .filter(F.col("tile").isNotNull())
     )
+
+
+def tile_digests(features: DataFrame, zooms: list[int]) -> DataFrame:
+    """Per-(z,x,y) order-independent content digest over everything that
+    can affect the tile's bytes (feature id, routed layer, geometry, props
+    with canonicalized key order): bit_xor of per-feature 60-bit md5
+    prefixes plus a feature count. XOR is commutative (shuffle-order- and
+    partitioning-independent) and, unlike SUM, cannot overflow under ANSI
+    mode no matter how many features land in a world-zoom cell; per-feature
+    hashes within a cell are distinct (feature_id is unique), so an
+    accidental xor+count collision on a CHANGED tile is ~2^-60 (and a false
+    'changed' merely re-encodes a tile it didn't need to — never wrong
+    bytes).
+
+    Scale: one coverage explode + ONE shuffle per call, same cost shape as
+    the tiler's own first stage; no driver participation."""
+    per_zoom = []
+    for z in zooms:
+        cov = coverage_at(features, z).withColumn(
+            "layer_name", TX.layer_route(F.col("props"))
+        )
+        per_zoom.append(
+            cov.select("tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
+                       "wkb", "props")
+        )
+    all_cov = per_zoom[0]
+    for p in per_zoom[1:]:
+        all_cov = all_cov.unionByName(p)
+    canon_props = F.to_json(F.map_from_entries(F.array_sort(F.map_entries("props"))))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("feature_id").cast("string"),
+                    F.col("layer_name"),
+                    F.hex(F.col("wkb")),
+                    canon_props,
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        all_cov.withColumn("_h", h)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(
+            F.expr("bit_xor(_h)").alias("digest"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )
+
+
+def changed_tiles(
+    old_features: DataFrame, new_features: DataFrame, zooms: list[int]
+) -> DataFrame:
+    """Cells whose tile bytes would differ between two feature-table
+    versions: (tile_z, tile_x, tile_y, status) with status in
+    ('added', 'changed', 'deleted'). Unchanged cells are absent — at
+    10^12-doc scale a daily delta touches a sliver of the world, and this
+    is the work list that lets the tiler skip the rest."""
+    o = tile_digests(old_features, zooms).select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("digest").alias("_od"), F.col("n_features").alias("_on"),
+    )
+    n = tile_digests(new_features, zooms).select(
+        "tile_z", "tile_x", "tile_y",
+        F.col("digest").alias("_nd"), F.col("n_features").alias("_nn"),
+    )
+    j = o.join(n, ["tile_z", "tile_x", "tile_y"], "full_outer")
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("_od") != F.col("_nd")) | (F.col("_on") != F.col("_nn")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("tile_z", "tile_x", "tile_y", "status")
+    )
+
+
+def incremental_tiles(
+    old_tiles: DataFrame,
+    old_features: DataFrame,
+    new_features: DataFrame,
+    zooms: list[int],
+    **build_kw,
+) -> DataFrame:
+    """Update a tile table for a new feature-table version by re-encoding
+    ONLY the changed cells: byte-identical to ``build_tiles(new_features,
+    zooms)`` (asserted in tests), at the cost of the delta instead of the
+    world. Deleted cells drop out; unchanged tiles pass through untouched
+    (no decode, no shuffle of their bytes beyond the anti-join)."""
+    # the changed-cell list is used twice (anti-join + encode restriction)
+    # and is tiny (the delta); localCheckpoint computes the digests once
+    ch = changed_tiles(old_features, new_features, zooms).localCheckpoint()
+    keep = old_tiles.join(ch, ["tile_z", "tile_x", "tile_y"], "left_anti")
+    todo = ch.filter(F.col("status") != "deleted").select(
+        "tile_z", "tile_x", "tile_y"
+    )
+    fresh = build_tiles(new_features, zooms, only_cells=todo, **build_kw)
+    return keep.select(*fresh.columns).unionByName(fresh)
+
+
+def incremental_tiles_delta(
+    old_tiles: DataFrame,
+    new_features: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    zooms: list[int],
+    max_collect_cells: int = 500_000,
+    **build_kw,
+) -> DataFrame:
+    """Incremental re-tile when the caller HAS the delta (the daily-update
+    norm: a changelog of removed + added/updated feature rows — an update
+    is a removed row plus an added row). Unlike :func:`incremental_tiles`,
+    this never scans the old corpus: the work list is the per-zoom coverage
+    of the delta rows alone, and the re-encode's deep-zoom coverage explode
+    only sees features near SOME delta cell (anchor-cell prune below), so
+    cost tracks the delta, not the world; byte-identical to a full rebuild
+    (asserted in tests).
+
+    Plan shape: the delta is small by definition, so its bbox/zoom columns
+    are fetched in ONE narrow collect and the whole work list is computed
+    DRIVER-side with the scalar tilemath kernel (zero extra Spark jobs —
+    an earlier explode+distinct+collect of the same list cost as much as
+    the restricted build itself). The list is inlined as LocalRelations
+    (bounded by ``max_collect_cells`` — the guard pattern of spatial_join's
+    ``max_dim_features``; beyond it, the digest-based
+    :func:`incremental_tiles` shuffle path is the right tool)."""
+    from ..kernels.tilemath import coverage as cell_coverage
+    from ..kernels.tilemath import coverage_count
+
+    delta = removed.select(*added.columns).unionByName(added)
+    drows = delta.select(
+        "minx", "miny", "maxx", "maxy", "zoom_min", "zoom_max"
+    ).collect()
+    if not drows:  # empty delta: nothing to do
+        return old_tiles
+
+    # per-zoom work cells, driver-side (same floor-cell semantics as the
+    # Spark-side coverage exprs — parity is oracle-checked in `coverage`
+    # and re-asserted here by the byte-identity tests)
+    too_wide = ValueError(
+        f"delta touches > {max_collect_cells} cells — at that width a "
+        "full rebuild or the digest-based incremental_tiles() path is "
+        "cheaper than an inlined work list; raise max_collect_cells to "
+        "override"
+    )
+    work: set = set()
+    for r in drows:
+        zmin = 0.0 if r.zoom_min is None else float(r.zoom_min)
+        zmax = 99.0 if r.zoom_max is None else float(r.zoom_max)
+        for z in zooms:
+            if not (zmin <= float(z) <= zmax):
+                continue
+            # O(1) pre-check so one world-spanning row can't materialize
+            # millions of cells before the budget check fires
+            if coverage_count(r.minx, r.miny, r.maxx, r.maxy, z) > max_collect_cells:
+                raise too_wide
+            for x, y, _ in cell_coverage(r.minx, r.miny, r.maxx, r.maxy, z):
+                work.add((z, x, y))
+            if len(work) > max_collect_cells:
+                raise too_wide
+    spark = old_tiles.sparkSession
+    cells_local = spark.createDataFrame(
+        sorted(work), "tile_z int, tile_x bigint, tile_y bigint"
+    )
+
+    # per-zoom ANCHOR cells (the work cells' ancestors at a coarse zoom)
+    # drive the hierarchical explode in build_tiles: the deep-zoom coverage
+    # explode only ever materializes cells inside changed anchors, so the
+    # explode volume tracks the delta even when the delta is scattered
+    # world-wide (where any single-bbox prune degenerates to a full scan).
+    anchor_of: dict[int, set] = {}
+    for z, x, y in work:
+        az = min(z, 7)
+        anchor_of.setdefault(z, set()).add((x >> (z - az), y >> (z - az)))
+    anchors = {
+        z: (min(z, 7), spark.createDataFrame(sorted(cells), "ax bigint, ay bigint"))
+        for z, cells in anchor_of.items()
+    }
+
+    keep = old_tiles.join(
+        F.broadcast(cells_local), ["tile_z", "tile_x", "tile_y"], "left_anti"
+    )
+    fresh = build_tiles(
+        new_features, zooms, only_cells=cells_local, anchor_cells=anchors,
+        **build_kw,
+    )
+    return keep.select(*fresh.columns).unionByName(fresh)
 
 
 def tile_assignments(points: DataFrame, zooms: list[int], id_col: str = "url") -> DataFrame:

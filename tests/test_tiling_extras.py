@@ -130,3 +130,105 @@ def test_build_tiles_hot_tile_cap(spark):
     assert "Window" in plan
     assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1
     assert len(set(re.findall(r"\bExchange \(\d+\)", plan))) <= 2
+
+
+def _tmap(df):
+    return {(r.tile_z, r.tile_x, r.tile_y): bytes(r.tile) for r in df.collect()}
+
+
+def test_incremental_tiles_byte_identical_to_full_rebuild(spark):
+    """Delta update (delete + prop-change + add) re-encodes only the
+    changed cells and lands byte-identical to a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.tiling import (
+        build_tiles,
+        changed_tiles,
+        incremental_tiles,
+    )
+
+    old = synth.features(spark, n_polygons=40, n_roads=20, n_pois=20)
+    # new version: drop one polygon, change one poi's props, add a feature
+    added = (
+        old.filter(F.col("feature_id") == 1)
+        .withColumn("feature_id", F.lit(999_999).cast(old.schema["feature_id"].dataType))
+    )
+    new = (
+        old.filter(F.col("feature_id") != 3)
+        .withColumn(
+            "props",
+            F.when(
+                F.col("feature_id") == 5,
+                F.map_concat("props", F.create_map(F.lit("edited"), F.lit("yes"))),
+            ).otherwise(F.col("props")),
+        )
+        .unionByName(added)
+    )
+
+    zooms = [2, 5]
+    old_tiles = build_tiles(old, zooms)
+    full = _tmap(build_tiles(new, zooms))
+    inc = _tmap(incremental_tiles(old_tiles, old, new, zooms))
+    assert inc == full
+
+    # the work list is a sliver: only cells touched by the three mutations
+    ch = changed_tiles(old, new, zooms)
+    n_changed = ch.count()
+    n_total = build_tiles(new, zooms).count()
+    assert 0 < n_changed < n_total
+    statuses = {r.status for r in ch.collect()}
+    assert statuses <= {"added", "changed", "deleted"}
+
+
+def test_changed_tiles_statuses(spark):
+    """A cell losing its only feature reports 'deleted'; a brand-new cell
+    reports 'added'; identical tables report nothing."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.tiling import changed_tiles
+
+    feats = synth.features(spark, n_polygons=6, n_roads=0, n_pois=4)
+    assert changed_tiles(feats, feats, [2, 5]).count() == 0
+
+    # deletion: drop ALL pois (their z5 point cells may be theirs alone)
+    new = feats.filter(F.col("feature_id") < 3)
+    ch = {(r.tile_z, r.tile_x, r.tile_y): r.status
+          for r in changed_tiles(feats, new, [5]).collect()}
+    assert ch and set(ch.values()) <= {"deleted", "changed"}
+    assert "deleted" in ch.values()
+
+    # pure addition mirrors to 'added'
+    ch2 = {r.status for r in changed_tiles(new, feats, [5]).collect()}
+    assert "added" in ch2
+
+
+def test_incremental_tiles_delta_byte_identical(spark):
+    """Delta mode (explicit removed/added changelog): no old-corpus scan,
+    bbox-pruned re-encode scan, byte-identical to a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.tiling import build_tiles, incremental_tiles_delta
+
+    old = synth.features(spark, n_polygons=40, n_roads=20, n_pois=20)
+    # update 3 features' props + delete one + add one (as remove/add pairs)
+    upd_ids = F.col("feature_id").isin([5, 17, 33])
+    new_rows = old.filter(upd_ids).withColumn(
+        "props", F.map_concat("props", F.create_map(F.lit("v"), F.lit("2")))
+    )
+    added_feat = old.filter(F.col("feature_id") == 2).withColumn(
+        "feature_id", F.lit(777_777).cast(old.schema["feature_id"].dataType)
+    )
+    removed = old.filter(upd_ids | (F.col("feature_id") == 9))
+    added = new_rows.unionByName(added_feat)
+    new = old.filter(~(upd_ids | (F.col("feature_id") == 9))).unionByName(added)
+
+    zooms = [2, 5]
+    old_tiles = build_tiles(old, zooms)
+    full = _tmap(build_tiles(new, zooms))
+    inc = _tmap(incremental_tiles_delta(old_tiles, new, removed, added, zooms))
+    assert inc == full
+
+    # empty delta short-circuits to the old table untouched
+    empty = removed.limit(0)
+    same = incremental_tiles_delta(old_tiles, old, empty, empty, zooms)
+    assert _tmap(same) == _tmap(old_tiles)
