@@ -729,6 +729,21 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell indexing (functions/s2_index.py): packed level-12 cell via
+    the vectorized Arrow UDF over kernels/s2.py (quad-sphere face + Hilbert
+    machine), plus the level-5 ancestor as a NATIVE shiftright — the prefix
+    property that makes S2 ids equi-joinable like slippy cells. Oracle is a
+    full independent SQL re-derivation (staged CTE Hilbert machine)."""
+    from grandine_spark.functions.s2_index import s2_cell, s2_parent
+
+    pts = _points(spark, sf_dir)
+    c12 = s2_cell(F.col("lat"), F.col("lon"), 12)
+    return pts.select(
+        "doc_id", c12.alias("s2_12"), s2_parent(c12, 7).alias("s2_5")
+    )
+
+
 def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focal 3x3 mean over the z5 point-count raster: neighborhood smoothing
     with antimeridian x-wrap and polar y-clamp; mean over PRESENT cells."""
@@ -1968,6 +1983,16 @@ SELECT doc_id, gh, substr(gh, 1, 3) AS gh3 FROM g
 """
 
 
+def _oracle_s2_cells() -> str:
+    from grandine_spark.functions.s2_index import s2_sql_parts
+
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+{s2_sql_parts("lat", "lon", 12)}
+SELECT doc_id, s2_cell AS s2_12, s2_cell >> 14 AS s2_5 FROM s2cell
+"""
+
+
 def _oracle_focal_mean() -> str:
     tx, ty = _tile_sql("lon", "lat", 5)
     return f"""
@@ -2222,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_segments": q_top_segments,
         "connected_components": q_connected_components,
         "geohash": q_geohash,
+        "s2_cells": q_s2_cells,
         "tfidf": q_tfidf,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
@@ -2296,6 +2322,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": _oracle_sessions(),
         "connected_components": _oracle_connected_components(),
         "geohash": _oracle_geohash(),
+        "s2_cells": _oracle_s2_cells(),
         "tfidf": _oracle_tfidf(),
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),
