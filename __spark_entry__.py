@@ -249,6 +249,51 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC codec round-trip (sources/warc.py): each batch of documents is
+    encoded into a Common-Crawl-style archive (per-record gzip members,
+    HTTP response envelope) IN the executor, parsed back with the reader,
+    and re-emitted — url, WARC-Date, HTTP status, and byte-identical text
+    all recovered. The oracle derives the same rows from the documents
+    table directly, so any encode/parse asymmetry breaks the hash."""
+    import pandas as pd
+
+    from grandine_spark.sources.warc import build_warc, parse_warc
+
+    def gen(batches):
+        from datetime import datetime, timedelta
+
+        epoch = datetime(2017, 1, 1)
+        for pdf in batches:
+            recs = [
+                {
+                    "url": f"http://example.com/doc/{int(i)}",
+                    "warc_ts": (epoch + timedelta(seconds=int(i))).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ"
+                    ),
+                    "http_status": 200,
+                    "payload": t.encode("utf-8"),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            parsed, errs = parse_warc(build_warc(recs))
+            assert errs == 0 and len(parsed) == len(recs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [int(r["url"].rsplit("/", 1)[1]) for r in parsed],
+                    "warc_ts": [r["warc_ts"] for r in parsed],
+                    "http_status": [r["http_status"] for r in parsed],
+                    "text": [r["payload"].decode("utf-8") for r in parsed],
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(gen, "doc_id long, warc_ts string, http_status int, text string")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.dedup import dedup_exact
 
@@ -1365,6 +1410,17 @@ SELECT tile_x, tile_y, count(*) AS n FROM cells GROUP BY 1, 2
 """
 
 
+def _oracle_warc_roundtrip() -> str:
+    return """
+SELECT doc_id,
+       strftime(TIMESTAMP '2017-01-01' + doc_id * INTERVAL 1 SECOND,
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_ts,
+       200 AS http_status,
+       text
+FROM documents
+"""
+
+
 def _oracle_html_extract() -> str:
     # operation order matches the Spark chain exactly (strip tags → entity
     # replacement → \s+ collapse → trim) so entity-adjacent whitespace and
@@ -2220,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "raster_to_vector": q_raster_to_vector,
         "html_extract": q_html_extract,
+        "warc_roundtrip": q_warc_roundtrip,
         "dedup_exact": q_dedup_exact,
         "dedup_pairs": q_dedup_pairs,
         "minhash_lsh": q_minhash_lsh,
@@ -2285,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage": _oracle_coverage(),
         "rasterize_areas": _oracle_rasterize_areas(),
         "html_extract": _oracle_html_extract(),
+        "warc_roundtrip": _oracle_warc_roundtrip(),
         "spatial_join": _oracle_spatial_join(),
         "spatial_join_multires": _oracle_spatial_join(),
         "radius_join": _oracle_radius_join(),
