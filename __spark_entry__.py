@@ -774,6 +774,23 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing quadkey naming of the z12 slippy cell (native per-char exprs)
+    plus the 5-char prefix, which must equal the z5 cell's own quadkey —
+    the string form of the cell-prefix hierarchy (asserted in tests;
+    here the oracle recomputes both from scratch)."""
+    from grandine_spark.functions.tile_exprs import quadkey, tile_x, tile_y
+
+    pts = _points(spark, sf_dir)
+    x = tile_x(F.col("lon"), 12)
+    y = tile_y(F.col("lat"), 12)
+    return pts.select(
+        "doc_id",
+        quadkey(x, y, 12).alias("qk"),
+        quadkey(F.shiftright(x, 7), F.shiftright(y, 7), 5).alias("qk5"),
+    )
+
+
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell indexing (functions/s2_index.py): packed level-12 cell via
     the vectorized Arrow UDF over kernels/s2.py (quad-sphere face + Hilbert
@@ -2039,6 +2056,20 @@ SELECT doc_id, gh, substr(gh, 1, 3) AS gh3 FROM g
 """
 
 
+def _oracle_quadkey() -> str:
+    from grandine_spark.functions.tile_exprs import quadkey_sql
+
+    tx, ty = _tile_sql("lon", "lat", 12)
+    return f"""
+WITH pts AS ({_POINTS_SQL}),
+xy AS (SELECT doc_id, {tx} AS x, {ty} AS y FROM pts)
+SELECT doc_id,
+       {quadkey_sql("x", "y", 12)} AS qk,
+       {quadkey_sql("(x >> 7)", "(y >> 7)", 5)} AS qk5
+FROM xy
+"""
+
+
 def _oracle_s2_cells() -> str:
     from grandine_spark.functions.s2_index import s2_sql_parts
 
@@ -2305,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "geohash": q_geohash,
         "s2_cells": q_s2_cells,
+        "quadkey": q_quadkey,
         "tfidf": q_tfidf,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
@@ -2381,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _oracle_connected_components(),
         "geohash": _oracle_geohash(),
         "s2_cells": _oracle_s2_cells(),
+        "quadkey": _oracle_quadkey(),
         "tfidf": _oracle_tfidf(),
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),

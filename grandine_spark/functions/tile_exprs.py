@@ -183,3 +183,41 @@ def tile_y_dyn(lat: Column, zoom: Column) -> Column:
         * n
     )
     return _clamp(y, F.lit(0), m).cast("bigint")
+
+
+def quadkey(x: Column, y: Column, zoom: int) -> Column:
+    """Bing-maps quadkey of a z/x/y cell: ``zoom`` base-4 digits, digit k
+    = 2·y_bit + x_bit at level k (MSB first). A quadkey PREFIX of length
+    k is exactly the zoom-k ancestor cell — the string-keyed sibling of
+    ``cell_parent``, JVM-native per character like the geohash encode."""
+    out = None
+    for k in range(zoom, 0, -1):
+        d = (F.shiftright(y, k - 1) % 2) * 2 + F.shiftright(x, k - 1) % 2
+        ch = F.element_at(
+            F.array(F.lit("0"), F.lit("1"), F.lit("2"), F.lit("3")),
+            (d + 1).cast("int"),
+        )
+        out = ch if out is None else F.concat(out, ch)
+    return out
+
+
+def quadkey_to_xy(qk: Column, zoom: int) -> tuple[Column, Column]:
+    """Inverse: (x, y) of a quadkey of known ``zoom`` — per-char digit
+    accumulation, no Python."""
+    x = F.lit(0).cast("bigint")
+    y = F.lit(0).cast("bigint")
+    for k in range(zoom):
+        d = (F.instr(F.lit("0123"), F.substring(qk, k + 1, 1)) - 1).cast("bigint")
+        x = x + (d % 2) * F.lit(1 << (zoom - 1 - k))
+        y = y + F.shiftright(d, 1) * F.lit(1 << (zoom - 1 - k))
+    return x, y
+
+
+def quadkey_sql(x: str, y: str, zoom: int) -> str:
+    """DuckDB twin of ``quadkey`` (same digit order and placement)."""
+    parts = [
+        f"substr('0123', CAST((({y} >> {k - 1}) & 1) * 2"
+        f" + (({x} >> {k - 1}) & 1) AS INTEGER) + 1, 1)"
+        for k in range(zoom, 0, -1)
+    ]
+    return " || ".join(parts)

@@ -100,3 +100,33 @@ def test_prefix_is_coarser_cell(spark):
     ).collect()
     for r in out:
         assert r.g6[:3] == r.g3
+
+
+def ref_quadkey(x, y, z):
+    """Published Bing construction: per-level digit from the two bits."""
+    out = []
+    for k in range(z, 0, -1):
+        digit = ((y >> (k - 1)) & 1) * 2 + ((x >> (k - 1)) & 1)
+        out.append(str(digit))
+    return "".join(out)
+
+
+def test_quadkey_matches_reference_and_inverts(spark):
+    import random
+
+    from grandine_spark.functions.tile_exprs import quadkey, quadkey_to_xy
+
+    rnd = random.Random(5)
+    z = 12
+    rows = [
+        (i, rnd.randrange(1 << z), rnd.randrange(1 << z)) for i in range(300)
+    ] + [(300, 0, 0), (301, (1 << z) - 1, (1 << z) - 1)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    qk = quadkey(F.col("x"), F.col("y"), z)
+    bx, by = quadkey_to_xy(qk, z)
+    got = df.select("id", "x", "y", qk.alias("qk"), bx.alias("bx"), by.alias("by")).collect()
+    for r in got:
+        assert r.qk == ref_quadkey(r.x, r.y, z)
+        assert (r.bx, r.by) == (r.x, r.y)  # decode inverts encode
+        # prefix property: first 5 chars = quadkey of the z5 ancestor
+        assert r.qk[:5] == ref_quadkey(r.x >> 7, r.y >> 7, 5)
