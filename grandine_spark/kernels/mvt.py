@@ -315,3 +315,138 @@ def gzip_tile(buf: bytes) -> bytes:
     """Optional gzip of the tile buffer (cmd/tiler/tiler.go:285-289),
     deterministic (mtime=0)."""
     return _gzip.compress(buf, mtime=0)
+
+
+# --------------------------------------------------------------------------
+# tile decoding — the inverse of encode_tile, for reading tiles back
+# --------------------------------------------------------------------------
+
+
+def _unzigzag32(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_packed(buf: bytes) -> list[int]:
+    from . import protowire as _pw
+
+    out, i = [], 0
+    while i < len(buf):
+        v, i = _pw.read_varint(buf, i)
+        out.append(v)
+    return out
+
+
+def decode_geometry(geom_type: int, commands: list[int]):
+    """Command ints → coords in tile pixel space, mirroring
+    encode_geometry's input shapes: point → (x, y) (or list if count>1),
+    line → Nx2 array (list of arrays if multi), polygon → list of rings
+    (each ring WITHOUT the implicit close-point the wire omits)."""
+    i, cx, cy = 0, 0, 0
+    parts: list[np.ndarray] = []
+    cur: list[list[int]] = []
+    closed: list[bool] = []
+    while i < len(commands):
+        cmd = commands[i] & 0x7
+        count = commands[i] >> 3
+        i += 1
+        if cmd == CMD_MOVETO:
+            for _ in range(count):
+                cx += _unzigzag32(commands[i]); cy += _unzigzag32(commands[i + 1])
+                i += 2
+                cur = [[cx, cy]]
+                parts.append(cur)  # type: ignore[arg-type]
+                closed.append(False)
+        elif cmd == CMD_LINETO:
+            for _ in range(count):
+                cx += _unzigzag32(commands[i]); cy += _unzigzag32(commands[i + 1])
+                i += 2
+                cur.append([cx, cy])
+        elif cmd == CMD_CLOSEPATH:
+            closed[-1] = True
+        else:
+            raise ValueError(f"unknown command {cmd}")
+    arrs = [np.asarray(p, np.float64) for p in parts]
+    if geom_type == 1:
+        pts = [(float(a[0][0]), float(a[0][1])) for a in arrs]
+        return pts[0] if len(pts) == 1 else pts
+    if geom_type == 2:
+        return arrs[0] if len(arrs) == 1 else arrs
+    if geom_type == 3:
+        return arrs  # ring list; ClosePath recorded the implicit closure
+    raise ValueError(f"unknown geom_type {geom_type}")
+
+
+def _decode_value(buf: bytes):
+    import struct as _struct
+
+    from . import protowire as _pw
+
+    for field, wire, v in _pw.iter_fields(buf):
+        if field == 1:
+            return v.decode("utf-8")
+        if field == 3:
+            return _struct.unpack("<d", v)[0]
+        if field == 6:
+            u = v
+            return (u >> 1) ^ -(u & 1)
+        if field == 7:
+            return bool(v)
+    return None
+
+
+def decode_tile(buf: bytes) -> dict:
+    """Tile bytes → {layer_name: {"extent", "version", "features": [
+    {"geom_type", "coords", "props"}]}} — the exact inverse of
+    encode_tile over the subset of the vector-tile model it emits
+    (gzip-sniffed, so sink output feeds straight back in)."""
+    import gzip as _gz
+
+    from . import protowire as _pw
+
+    if buf[:2] == b"\x1f\x8b":
+        buf = _gz.decompress(buf)
+    layers: dict = {}
+    for field, wire, layer_buf in _pw.iter_fields(bytes(buf)):
+        if field != 3:
+            continue
+        name, extent, version = None, EXTENT, 2
+        keys: list[str] = []
+        values: list = []
+        feature_blobs: list[bytes] = []
+        for f, w, v in _pw.iter_fields(layer_buf):
+            if f == 1:
+                name = v.decode("utf-8")
+            elif f == 2:
+                feature_blobs.append(v)
+            elif f == 3:
+                keys.append(v.decode("utf-8"))
+            elif f == 4:
+                values.append(_decode_value(v))
+            elif f == 5:
+                extent = v
+            elif f == 15:
+                version = v
+        feats = []
+        for fb in feature_blobs:
+            tags: list[int] = []
+            gtype = 0
+            commands: list[int] = []
+            for f, w, v in _pw.iter_fields(fb):
+                if f == 2:
+                    tags = _read_packed(v)
+                elif f == 3:
+                    gtype = v
+                elif f == 4:
+                    commands = _read_packed(v)
+            props = {
+                keys[tags[t]]: values[tags[t + 1]] for t in range(0, len(tags), 2)
+            }
+            feats.append(
+                {
+                    "geom_type": gtype,
+                    "coords": decode_geometry(gtype, commands),
+                    "props": props,
+                }
+            )
+        layers[name] = {"extent": extent, "version": version, "features": feats}
+    return layers

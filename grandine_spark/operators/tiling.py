@@ -697,3 +697,59 @@ def write_tiles_s3(
 
     tiles.foreachPartition(put_part)
     return 0
+
+
+def decode_tiles(tiles: DataFrame) -> DataFrame:
+    """Read MVT tiles back into per-feature rows — the sink's inverse
+    (kernels/mvt.py decode_tile), for inspection, stats, and
+    tile-as-input pipelines. One mapInPandas pass, no shuffle; geometry
+    detail (ring/point counts) summarized, props stringified.
+
+    Columns: tile_z, tile_x, tile_y, layer_name, geom_type, n_parts,
+    n_points, props (map<string,string>)."""
+    import pandas as pd
+
+    import numpy as np
+
+    from ..kernels.mvt import decode_tile
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob in zip(
+                pdf["tile_z"], pdf["tile_x"], pdf["tile_y"], pdf["tile"]
+            ):
+                if blob is None:
+                    continue
+                for lname, layer in decode_tile(bytes(blob)).items():
+                    for ft in layer["features"]:
+                        c = ft["coords"]
+                        if ft["geom_type"] == 1:
+                            parts = c if isinstance(c, list) else [c]
+                            npts = len(parts)
+                        elif isinstance(c, list) and not isinstance(c, np.ndarray):
+                            parts = c
+                            npts = int(sum(len(p) for p in parts))
+                        else:
+                            parts = [c]
+                            npts = int(len(c))
+                        rows.append(
+                            (
+                                int(z), int(x), int(y), lname,
+                                int(ft["geom_type"]), len(parts), npts,
+                                {k: str(v) for k, v in ft["props"].items()},
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tile_z", "tile_x", "tile_y", "layer_name",
+                    "geom_type", "n_parts", "n_points", "props",
+                ],
+            )
+
+    return tiles.mapInPandas(
+        gen,
+        "tile_z int, tile_x bigint, tile_y bigint, layer_name string, "
+        "geom_type int, n_parts int, n_points int, props map<string,string>",
+    )
