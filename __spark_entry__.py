@@ -774,6 +774,29 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over a deterministic synthetic link
+    graph on the documents table (two modular out-links per doc; self
+    loops dropped, so a few docs go dangling and exercise the
+    dangling-mass redistribution). 8 power iterations; output scaled by N
+    and rounded to 6dp so FP summation order can't flip the hash."""
+    from grandine_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 31 + 11) % n).alias("dst")
+    )
+    pr = pagerank(docs.withColumnRenamed("doc_id", "node"), e1.unionByName(e2), n_iter=8)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled"),
+    )
+
+
 def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bing quadkey naming of the z12 slippy cell (native per-char exprs)
     plus the 5-char prefix, which must equal the z5 cell's own quadkey —
@@ -2056,6 +2079,49 @@ SELECT doc_id, gh, substr(gh, 1, 3) AS gh3 FROM g
 """
 
 
+def _oracle_pagerank(n_iter: int = 8, damping: float = 0.85) -> str:
+    """Independent SQL power iteration: chained CTEs r0..r{n_iter}, each
+    re-deriving inflow + dangling mass from the previous rank table.
+    Literals cast to DOUBLE so DuckDB's decimal arithmetic can't diverge
+    from Spark's float64."""
+    parts = [
+        "docs AS MATERIALIZED (SELECT doc_id FROM documents)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM docs)",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*7 + 3) % (SELECT n FROM nn) AS dst FROM docs
+    UNION ALL
+    SELECT doc_id, (doc_id*31 + 11) % (SELECT n FROM nn) FROM docs)
+  WHERE src <> dst)""",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        """r0 AS MATERIALIZED (SELECT doc_id AS node,
+  CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM docs)""",
+    ]
+    d = f"CAST({damping} AS DOUBLE)"
+    base = f"CAST({1.0 - damping} AS DOUBLE) / (SELECT n FROM nn)"
+    for k in range(n_iter):
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         {base} + {d} * (COALESCE(c.inflow, CAST(0.0 AS DOUBLE))
+           + (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE))
+              FROM r{k} r LEFT JOIN deg g ON r.node = g.src
+              WHERE g.src IS NULL) / CAST((SELECT n FROM nn) AS DOUBLE)) AS rank
+  FROM r{k} nd
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS inflow
+             FROM e JOIN r{k} r ON e.src = r.node
+                    JOIN deg g ON e.src = g.src
+             GROUP BY e.dst) c ON nd.node = c.node)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT node AS doc_id,
+       ROUND(rank * CAST((SELECT n FROM nn) AS DOUBLE), 6) AS rank_scaled
+FROM r{n_iter}
+"""
+
+
 def _oracle_quadkey() -> str:
     from grandine_spark.functions.tile_exprs import quadkey_sql
 
@@ -2337,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "s2_cells": q_s2_cells,
         "quadkey": q_quadkey,
+        "pagerank": q_pagerank,
         "tfidf": q_tfidf,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
@@ -2414,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash": _oracle_geohash(),
         "s2_cells": _oracle_s2_cells(),
         "quadkey": _oracle_quadkey(),
+        "pagerank": _oracle_pagerank(),
         "tfidf": _oracle_tfidf(),
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),

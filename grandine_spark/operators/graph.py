@@ -121,3 +121,81 @@ def dedup_clusters(
         )
         .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a link graph (url/domain graph analytics): (node,
+    rank) after ``n_iter`` power iterations with dangling-mass
+    redistribution — rank mass of nodes with no out-links is spread
+    uniformly each round, so ranks stay a probability distribution.
+
+    Scale shape (10^12-edge web graph): per iteration ONE aggregation
+    shuffle of the contribution stream (edge ⨝ rank on src — the edge
+    list is deduped, cached, and hash-partitioned on src ONCE, and the
+    rank table comes out of the previous iteration partitioned the same
+    way, so the join itself reuses partitioning), plus a 1-row dangling
+    aggregate that rides back in as a broadcast cross join — the driver
+    never sees a value. Lineage is truncated every iteration with
+    ``localCheckpoint`` (the standard iterative-plan pattern; see
+    connected_components above).
+
+    Self-loops are dropped and duplicate edges collapse to one; ranks
+    depend only on the edge set. No reference parity (grandine has no
+    graph operator) — a BASELINE training-pipeline extension.
+    """
+    n = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    try:
+        n_nodes = n.count()
+        if n_nodes == 0:
+            return n.withColumn("rank", F.lit(0.0))
+        base = (1.0 - damping) / n_nodes
+        ranks = n.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            contrib = (
+                e.join(ranks.withColumnRenamed("node", "src"), "src")
+                .join(deg, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+            )
+            dangling = (
+                ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            )
+            ranks = (
+                n.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.col("dmass") / F.lit(float(n_nodes))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        e.unpersist()
+        deg.unpersist()

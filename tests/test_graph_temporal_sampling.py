@@ -436,3 +436,33 @@ def test_asof_null_keys_and_null_ts_never_match(spark):
     # NULL-key left row: unmatched; NULL-ts left row: nothing precedes it;
     # the valid pair matches the non-NULL-ts right row only
     assert got == {1: (None, None), 2: (101, "ok"), 3: (None, None)}
+
+
+def test_pagerank_mass_and_structure(spark):
+    """Ranks stay a probability distribution (dangling mass recycled);
+    a sink hub out-ranks its spokes; a known 2-node exchange matches the
+    closed form."""
+    from pyspark.sql import functions as F
+
+    from grandine_spark.operators.graph import pagerank
+
+    # star: 0..4 all link to 5; 5 links nowhere (dangling hub)
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame([(i, 5) for i in range(5)], "src long, dst long")
+    pr = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=30).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # mass conserved
+    assert all(pr[5] > pr[i] for i in range(5))
+    assert len({round(pr[i], 12) for i in range(5)}) == 1  # spokes symmetric
+
+    # 2-cycle: closed form rank = 0.5 each, any damping
+    n2 = spark.createDataFrame([(0,), (1,)], "node long")
+    e2 = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    pr2 = {r.node: r.rank for r in pagerank(n2, e2, n_iter=15).collect()}
+    assert abs(pr2[0] - 0.5) < 1e-12 and abs(pr2[1] - 0.5) < 1e-12
+
+    # duplicate edges and self-loops don't change the result
+    e_dirty = e2.unionByName(
+        spark.createDataFrame([(0, 1), (0, 0), (1, 1)], "src long, dst long")
+    )
+    pr3 = {r.node: r.rank for r in pagerank(n2, e_dirty, n_iter=15).collect()}
+    assert pr3 == pr2
