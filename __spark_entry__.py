@@ -774,6 +774,48 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py): messy deterministic URLs
+    (mixed-case scheme/host, userinfo, default and explicit ports,
+    fragments, empty paths, multi-part public suffixes) → normalized
+    dedup key, host, registered domain — all native regexp expressions,
+    RE2-compatible so the oracle runs the same patterns."""
+    from grandine_spark.functions.url import (
+        registered_domain,
+        url_host,
+        url_normalize,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(i % 10 == 0, F.lit("bot:pw@")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (i % 50).cast("string"),
+        F.when(i % 3 == 0, F.lit(".example.CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(i % 5 == 0, F.lit(":80"))
+        .when(i % 7 == 0, F.lit(":8443"))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/a/"), i.cast("string"))
+        ),
+        F.when(i % 9 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(i % 8 == 0, F.lit("#sec1")).otherwise(F.lit("")),
+    )
+    d = d.withColumn("url", url)
+    h = url_host(F.col("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        url_normalize(F.col("url")).alias("norm_url"),
+        h.alias("host"),
+        registered_domain(h).alias("reg_domain"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over a deterministic synthetic link
     graph on the documents table (two modular out-links per doc; self
@@ -2079,6 +2121,33 @@ SELECT doc_id, gh, substr(gh, 1, 3) AS gh3 FROM g
 """
 
 
+def _oracle_url_normalize() -> str:
+    from grandine_spark.functions.url import url_sql_parts
+
+    p = url_sql_parts("url")
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://'
+    || (CASE WHEN doc_id % 10 = 0 THEN 'bot:pw@' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Site' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.example.CO.UK' ELSE '.Example.COM' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':80'
+             WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN ''
+             ELSE '/a/' || CAST(doc_id AS VARCHAR) END)
+    || (CASE WHEN doc_id % 9 = 0 THEN '?b=2&a=1' ELSE '' END)
+    || (CASE WHEN doc_id % 8 = 0 THEN '#sec1' ELSE '' END) AS url
+  FROM documents)
+SELECT doc_id, url,
+       {p["norm_url"]} AS norm_url,
+       {p["host"]} AS host,
+       {p["reg_domain"]} AS reg_domain
+FROM raw
+"""
+
+
 def _oracle_pagerank(n_iter: int = 8, damping: float = 0.85) -> str:
     """Independent SQL power iteration: chained CTEs r0..r{n_iter}, each
     re-deriving inflow + dangling mass from the previous rank table.
@@ -2404,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "quadkey": q_quadkey,
         "pagerank": q_pagerank,
+        "url_normalize": q_url_normalize,
         "tfidf": q_tfidf,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
@@ -2482,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _oracle_s2_cells(),
         "quadkey": _oracle_quadkey(),
         "pagerank": _oracle_pagerank(),
+        "url_normalize": _oracle_url_normalize(),
         "tfidf": _oracle_tfidf(),
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),

@@ -1,0 +1,117 @@
+"""URL parsing & canonicalization — JVM-native expressions, no Python.
+
+The web-pipeline trio every crawl job needs before grouping anything:
+host extraction, URL normalization (dedup keys: byte-different URLs that
+name the same resource must collide), and registered-domain extraction
+(per-site aggregation, crawl politeness, domain-level sampling keys —
+the unit "popular-domain skew" is measured in).
+
+All regexp/string expressions are RE2-compatible (no backrefs or
+lookaround) so the DuckDB oracle twin runs the very same patterns — the
+repo-wide convention established by the html-extract chain
+(functions/text.py).
+
+Normalization contract (the widely-implemented safe subset of RFC 3986
+§6: only transforms that never change the named resource):
+scheme and host lowercased, userinfo dropped, default ports stripped
+(http:80, https:443), fragment dropped, empty path → "/". Query strings
+are preserved byte-for-byte (reordering parameters is NOT
+semantics-preserving). Registered domain = last two labels, or last
+three when the 2-label tail is a multi-part public suffix (embedded
+subset of the public-suffix list's most common entries; the full PSL is
+a data-file swap, same expression shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# most common multi-part public suffixes (PSL subset; swap in the full
+# list as a literal set without changing the expression shape)
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "co.in", "co.kr", "co.za",
+    "com.sg", "com.hk", "com.tw",
+)
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_USER_RE = "([^@]*)$"  # keep what follows the last '@' of the authority
+_PATHQ_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"  # path+query, no fragment
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: authority minus userinfo and port."""
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    hostport = F.regexp_extract(auth, _USER_RE, 1)
+    return F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port string ('' when absent)."""
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    hostport = F.regexp_extract(auth, _USER_RE, 1)
+    return F.regexp_extract(hostport, ":([0-9]+)$", 1)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical dedup key per the module contract."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = url_host(url)
+    port = url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    pathq = F.regexp_extract(url, _PATHQ_RE, 1)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(pathq == "", F.lit("/")).otherwise(pathq),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Site key: last 2 labels, or 3 over a multi-part public suffix."""
+    last2 = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    return (
+        F.when(last2.isin(*MULTI_SUFFIXES) & (last3 != ""), last3)
+        .when(last2 != "", last2)
+        .otherwise(host)
+    )
+
+
+def url_sql_parts(url: str) -> dict[str, str]:
+    """DuckDB twins (same RE2 patterns): exprs for host, port, norm_url,
+    reg_domain over an input expression ``url``."""
+    scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({url}, '{_AUTH_RE}', 1)"
+    hostport = f"regexp_extract({auth}, '{_USER_RE}', 1)"
+    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    pathq = f"regexp_extract({url}, '{_PATHQ_RE}', 1)"
+    keep = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
+        f"AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    norm = (
+        f"{scheme} || '://' || {host} || "
+        f"(CASE WHEN {keep} THEN ':' || {port} ELSE '' END) || "
+        f"(CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END)"
+    )
+    last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+    last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    sufs = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    reg = (
+        f"CASE WHEN {last2} IN ({sufs}) AND {last3} <> '' THEN {last3} "
+        f"WHEN {last2} <> '' THEN {last2} ELSE {host} END"
+    )
+    return {"host": host, "port": port, "norm_url": norm, "reg_domain": reg}

@@ -1,0 +1,73 @@
+"""URL canonicalization: hand-checked cases + normalization idempotence."""
+
+from pyspark.sql import functions as F
+
+from grandine_spark.functions.url import (
+    registered_domain,
+    url_host,
+    url_normalize,
+    url_port,
+)
+
+CASES = [
+    # (url, host, reg_domain, normalized)
+    ("HTTP://WWW.Example.COM/a/B", "www.example.com", "example.com",
+     "http://www.example.com/a/B"),
+    ("https://Example.com:443/x", "example.com", "example.com",
+     "https://example.com/x"),
+    ("http://example.com:80", "example.com", "example.com",
+     "http://example.com/"),
+    ("http://example.com:8080/p", "example.com", "example.com",
+     "http://example.com:8080/p"),
+    ("https://example.com:80/p", "example.com", "example.com",
+     "https://example.com:80/p"),  # 80 is not https' default → kept
+    ("https://u:p@news.bbc.CO.UK/story#frag", "news.bbc.co.uk", "bbc.co.uk",
+     "https://news.bbc.co.uk/story"),
+    ("http://a.b.c.example.com/?q=1&r=2#x", "a.b.c.example.com", "example.com",
+     "http://a.b.c.example.com/?q=1&r=2"),
+    ("http://localhost/", "localhost", "localhost", "http://localhost/"),
+    ("ftp://Files.Example.org", "files.example.org", "example.org",
+     "ftp://files.example.org/"),
+    # query preserved byte-for-byte (reordering is not semantics-safe)
+    ("http://e.com/p?b=2&a=1", "e.com", "e.com", "http://e.com/p?b=2&a=1"),
+]
+
+
+def test_url_functions_hand_cases(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "url string")
+    h = url_host(F.col("url"))
+    got = df.select(
+        "url",
+        h.alias("host"),
+        registered_domain(h).alias("reg"),
+        url_normalize(F.col("url")).alias("norm"),
+    ).collect()
+    by_url = {r.url: r for r in got}
+    for url, host, reg, norm in CASES:
+        r = by_url[url]
+        assert r.host == host, (url, r.host)
+        assert r.reg == reg, (url, r.reg)
+        assert r.norm == norm, (url, r.norm)
+
+
+def test_normalize_idempotent_and_collapses_variants(spark):
+    variants = [
+        "HTTP://A.Example.com:80/x",
+        "http://a.example.COM/x",
+        "http://u@a.example.com:80/x#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    norm = df.select(url_normalize(F.col("url")).alias("n"))
+    vals = {r.n for r in norm.collect()}
+    assert vals == {"http://a.example.com/x"}  # all collide on one key
+    # idempotence: normalizing the normalized form is a fixed point
+    again = norm.select(url_normalize(F.col("n")).alias("n2")).collect()
+    assert {r.n2 for r in again} == vals
+
+
+def test_port_extraction(spark):
+    df = spark.createDataFrame(
+        [("http://e.com:8080/p",), ("http://e.com/p",)], "url string"
+    )
+    got = [r.p for r in df.select(url_port(F.col("url")).alias("p")).collect()]
+    assert got == ["8080", ""]
