@@ -289,6 +289,19 @@ def main():
     )
     meta["indexed_points_per_sec"] = round(n_assign / timings["tile_index_z14"], 1)
 
+    # S2 indexing over the same points: the Arrow-UDF cell path (numpy
+    # Hilbert machine per batch) next to the native slippy exprs above —
+    # records what the north rule's "H3/S2 via vectorized UDFs" costs
+    from grandine_spark.functions.s2_index import s2_cell
+
+    n_s2 = timed(
+        "s2_index_l12",
+        lambda: pts.select(
+            s2_cell(F.col("lat"), F.col("lon"), 12).alias("c")
+        ).filter(F.col("c") >= 0).count(),
+    )
+    meta["s2_points_per_sec"] = round(n_s2 / timings["s2_index_l12"], 1)
+
     n_tiles = timed(
         "tiles_z2_12",
         lambda: build_tiles(feats, [2, 5, 8, 11, 12]).count(),
