@@ -774,6 +774,38 @@ def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/quality.py): every 10th doc
+    plays the benchmark; docs sharing ≥1 distinct 3-gram with that set
+    (the benchmark docs themselves plus genuine near-dups) are flagged.
+    Oracle re-derives the gram join + distinct-hit count in SQL over the
+    same md5-60bit gram hashes."""
+    from grandine_spark.operators.quality import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    contam = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    return decontaminate(docs, contam, k=3, min_hits=1).select(
+        "doc_id", "n_hits", "is_contaminated"
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetitiveness stats per doc (operators/quality.py):
+    duplicate-line fraction and duplicate-5-gram fraction as pure array
+    expressions, top-bigram share via explode + one partial-agg shuffle."""
+    from grandine_spark.operators.quality import repetition_stats
+
+    r = repetition_stats(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+        "is_repetitive",
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/url.py): messy deterministic URLs
     (mixed-case scheme/host, userinfo, default and explicit ports,
@@ -2121,6 +2153,61 @@ SELECT doc_id, gh, substr(gh, 1, 3) AS gh3 FROM g
 """
 
 
+def _oracle_decontaminate() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS gram
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 2)) AS i) x
+  WHERE len(t) >= 3),
+banned AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+  FROM g JOIN banned USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def _oracle_repetition() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS t,
+         string_split(text, chr(10)) AS l
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         len(l) AS n_lines,
+         CASE WHEN len(l) > 0
+              THEN 1.0 - len(list_distinct(l)) / len(l) ELSE 0.0 END AS dlf,
+         CASE WHEN len(t) >= 5 THEN 1.0 - (
+           SELECT COUNT(DISTINCT array_to_string(t[i:i+4], ' '))
+           FROM UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+         ) / (len(t) - 4) ELSE 0.0 END AS d5f
+  FROM toks),
+bg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT AS gram
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i) x
+  WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+tb AS (SELECT doc_id, MAX(c) / SUM(c) AS tbf FROM bgc GROUP BY doc_id)
+SELECT b.doc_id, b.n_lines,
+       ROUND(b.dlf, 6) AS dup_line_frac,
+       ROUND(COALESCE(tb.tbf, 0.0), 6) AS top_bigram_frac,
+       ROUND(b.d5f, 6) AS dup_5gram_frac,
+       (b.dlf > 0.30 OR COALESCE(tb.tbf, 0.0) > 0.20 OR b.d5f > 0.15)
+         AS is_repetitive
+FROM base b LEFT JOIN tb ON b.doc_id = tb.doc_id
+"""
+
+
 def _oracle_url_normalize() -> str:
     from grandine_spark.functions.url import url_sql_parts
 
@@ -2474,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": q_quadkey,
         "pagerank": q_pagerank,
         "url_normalize": q_url_normalize,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "tfidf": q_tfidf,
         "image_stats": q_image_stats,
         "audio_stats": q_audio_stats,
@@ -2553,6 +2642,8 @@ def oracle_sql() -> dict[str, str]:
         "quadkey": _oracle_quadkey(),
         "pagerank": _oracle_pagerank(),
         "url_normalize": _oracle_url_normalize(),
+        "decontaminate": _oracle_decontaminate(),
+        "repetition": _oracle_repetition(),
         "tfidf": _oracle_tfidf(),
         "image_stats": _oracle_image_stats(),
         "audio_stats": _oracle_audio_stats(),

@@ -1,0 +1,157 @@
+"""Corpus-quality operators: eval-set decontamination + repetition stats.
+
+Two passes every serious training-data pipeline runs that are neither
+dedup (operators/dedup.py) nor per-doc scoring (functions/text.py):
+
+- **decontaminate**: remove documents that overlap an evaluation set.
+  The standard recipe is k-gram collision (k≈13 words): any doc sharing
+  at least ``min_hits`` distinct k-grams with the benchmark text is
+  flagged. Scale shape: the contamination side is tiny next to the
+  corpus (benchmarks are ~10^5-10^7 grams vs 10^12 docs), so its
+  distinct gram-hash set is broadcast; the corpus side is ONE explode →
+  broadcast semi-ish inner join → one groupBy(doc) shuffle of only the
+  matching grams (at real contamination rates, a sliver). Set
+  ``broadcast_contamination=False`` for a pathologically large banned
+  set and both sides shuffle on the gram hash instead.
+
+- **repetition_stats**: Gopher-style repetitiveness signals — duplicate
+  -line fraction, the most-frequent-bigram share, duplicate-5-gram
+  fraction. Line and 5-gram stats are pure array expressions (zero
+  shuffle); the top-bigram share needs a per-(doc, gram) count, which is
+  explode → ONE partial-agg shuffle keyed by (doc, gram) → per-doc max
+  (HOF in-array counting would be the interpreted-expression
+  anti-pattern; the explode keeps it in codegen + hash aggregates).
+
+No reference parity (grandine has no text ops) — BASELINE training-
+pipeline extensions, axes pyspark × webtext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, gram_hash) — one row per k-gram occurrence, 60-bit md5 ints
+    (same hash family as the MinHash chain, so oracles share SQL)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            TXT.shingle_hashes(TXT.word_shingles(F.col(text_col), k))
+        ).alias("gram"),
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    contamination: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contam_text_col: str = "text",
+    broadcast_contamination: bool = True,
+) -> DataFrame:
+    """(id, n_hits) for every doc with ≥1 distinct k-gram shared with the
+    contamination set; docs with zero hits are absent."""
+    banned = (
+        _gram_hashes(
+            contamination.select(F.col(contam_text_col)).withColumn("_i", F.lit(0)),
+            "_i",
+            contam_text_col,
+            k,
+        )
+        .select("gram")
+        .distinct()
+    )
+    if broadcast_contamination:
+        banned = F.broadcast(banned)
+    return (
+        _gram_hashes(docs, id_col, text_col, k)
+        .join(banned, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    contamination: DataFrame,
+    k: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contam_text_col: str = "text",
+    broadcast_contamination: bool = True,
+) -> DataFrame:
+    """Docs labeled with (n_hits, is_contaminated);
+    ``filter(~is_contaminated)`` is the clean corpus. One extra left join
+    against the (match-sized) hits table."""
+    hits = contamination_hits(
+        docs, contamination, k, id_col, text_col, contam_text_col,
+        broadcast_contamination,
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("is_contaminated", F.col("n_hits") >= min_hits)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    max_dup_5gram_frac: float = 0.15,
+) -> DataFrame:
+    """Per-doc repetitiveness: (id, n_lines, dup_line_frac,
+    top_bigram_frac, dup_5gram_frac, is_repetitive). Fractions are 0.0
+    when the doc is too short to have the unit (no lines / bigrams /
+    5-grams). Threshold defaults follow the published Gopher ranges;
+    the flag is an OR over the three signals."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    g5 = TXT.word_shingles(F.col(text_col), 5)
+    n5 = F.size(g5)
+    dup5 = F.when(
+        n5 > 0, 1.0 - F.size(F.array_distinct(g5)) / n5.cast("double")
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        dup_line.alias("dup_line_frac"),
+        dup5.alias("dup_5gram_frac"),
+    )
+
+    big = (
+        _gram_hashes(docs, id_col, text_col, 2)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        )
+    )
+    out = base.join(big, id_col, "left").withColumn(
+        "top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0))
+    )
+    return out.select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "top_bigram_frac",
+        "dup_5gram_frac",
+        (
+            (F.col("dup_line_frac") > max_dup_line_frac)
+            | (F.col("top_bigram_frac") > max_top_bigram_frac)
+            | (F.col("dup_5gram_frac") > max_dup_5gram_frac)
+        ).alias("is_repetitive"),
+    )

@@ -1,0 +1,75 @@
+"""Decontamination + repetition stats: hand-built corpora with known answers."""
+
+from pyspark.sql import functions as F
+
+from grandine_spark.operators.quality import (
+    contamination_hits,
+    decontaminate,
+    repetition_stats,
+)
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox appears in this unrelated story"),  # shares 'quick brown fox'
+            (3, "completely different words entirely here today now"),
+            (4, "xy"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench, k=3).collect()}
+    assert out[1].is_contaminated and out[1].n_hits == 7  # all 7 of its 3-grams
+    assert out[2].is_contaminated and out[2].n_hits == 1
+    assert not out[3].is_contaminated and out[3].n_hits == 0
+    assert not out[4].is_contaminated and out[4].n_hits == 0
+    # min_hits raises the bar: the 1-gram-overlap doc survives
+    strict = {r.doc_id: r.is_contaminated
+              for r in decontaminate(docs, bench, k=3, min_hits=2).collect()}
+    assert strict == {1: True, 2: False, 3: False, 4: False}
+    # hits table only carries matching docs
+    assert contamination_hits(docs, bench, k=3).count() == 2
+
+
+def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma token{i + 1} delta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    a = sorted((r.doc_id, r.n_hits) for r in decontaminate(docs, bench, k=3).collect())
+    b = sorted(
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(
+            docs, bench, k=3, broadcast_contamination=False
+        ).collect()
+    )
+    assert a == b and len(a) == 30
+
+
+def test_repetition_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 2 distinct → dup_line_frac 0.5; 'spam spam' dominates
+            (1, "spam spam spam spam\nok line\nspam spam spam spam\nok line"),
+            # all-unique everything
+            (2, "one two three four five six seven eight nine ten"),
+            # 8 tokens, 4 5-grams all identical → dup_5gram_frac = 3/4
+            (3, "a a a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].n_lines == 4 and abs(out[1].dup_line_frac - 0.5) < 1e-12
+    assert out[1].is_repetitive
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_5gram_frac == 0.0
+    # 9 bigrams, all distinct → top share 1/9
+    assert abs(out[2].top_bigram_frac - 1 / 9) < 1e-12
+    assert not out[2].is_repetitive
+    assert abs(out[3].dup_5gram_frac - 0.75) < 1e-12
+    assert abs(out[3].top_bigram_frac - 1.0) < 1e-12
+    assert out[3].is_repetitive
