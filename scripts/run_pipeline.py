@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--join-zoom", type=int, default=7)
     ap.add_argument("--n-pages", type=int, default=100_000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--clean-text", action="store_true",
+                    help="run the corpus-hygiene stage (exact dedup + "
+                         "repetition filter) before geocoding")
     args = ap.parse_args()
 
     from grandine_spark.plans.pipeline import run_pipeline
@@ -69,6 +72,7 @@ def main():
         args.warehouse,
         zooms=[int(z) for z in args.zooms.split(",")],
         join_zoom=args.join_zoom,
+        clean_text=args.clean_text,
     )
     stats = {
         "elapsed_sec": round(time.time() - t0, 2),

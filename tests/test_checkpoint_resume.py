@@ -88,3 +88,38 @@ def test_anti_join_completed(spark):
     done = spark.createDataFrame([(1, 0), (1, 1), (2, 4)], "z int, x int")
     rest = anti_join_completed(work, done, ["z", "x"])
     assert rest.count() == 7
+
+
+def test_clean_text_stage_filters_and_checkpoints(spark, tmp_path):
+    """The optional hygiene stage drops exact dupes (keep min url) and
+    repetitive pages, checkpoints as its own resumable stage, and the
+    rest of the pipeline consumes the cleaned table."""
+    from grandine_spark.plans.pipeline import clean_pages
+
+    pages = synth.pages(spark, 2000)
+    dupe = pages.limit(50).withColumn("url", F.concat(F.lit("zz-dup-"), F.col("url")))
+    spammy = spark.createDataFrame(
+        [("aaa-spam", "spam spam spam spam spam spam spam spam spam near 48.85, 2.35",)],
+        "url string, text string",
+    ).select("url", "text", *[F.lit(None).cast(pages.schema[c].dataType).alias(c)
+                              for c in pages.columns if c not in ("url", "text")])
+    dirty = pages.unionByName(dupe.select(pages.columns)).unionByName(
+        spammy.select(pages.columns)
+    )
+
+    cleaned = clean_pages(dirty)
+    urls = {r.url for r in cleaned.select("url").collect()}
+    # originals kept (min url of each dup pair: 'a...' < 'zz-dup-a...')
+    assert not any(u.startswith("zz-dup-") for u in urls)
+    assert "aaa-spam" not in urls  # repetition filter
+    # only the injected rows are dropped (synth pages are unique, non-spammy)
+    assert cleaned.count() == pages.count()
+    # through the pipeline with checkpointing: stage dir exists + resume
+    root = str(tmp_path / "wh")
+    out = run_pipeline(spark, dirty, synth.features(spark), root,
+                       zooms=[2], clean_text=True)
+    assert out["geocoded"].count() > 0
+    assert os.path.isdir(os.path.join(root, "clean_pages"))
+    again = run_pipeline(spark, dirty, synth.features(spark), root,
+                         zooms=[2], clean_text=True)
+    assert _tiles_map(again["tiles"]) == _tiles_map(out["tiles"])
