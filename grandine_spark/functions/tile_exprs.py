@@ -198,7 +198,8 @@ def quadkey(x: Column, y: Column, zoom: int) -> Column:
             (d + 1).cast("int"),
         )
         out = ch if out is None else F.concat(out, ch)
-    return out
+    # zoom 0: the world tile's quadkey is the empty string, not None
+    return F.lit("") if out is None else out
 
 
 def quadkey_to_xy(qk: Column, zoom: int) -> tuple[Column, Column]:

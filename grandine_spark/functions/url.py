@@ -74,7 +74,12 @@ def url_normalize(url: Column) -> Column:
         F.lit("://"),
         host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        F.when(pathq == "", F.lit("/")).otherwise(pathq),
+        # empty path → '/', INCLUDING when a query follows directly on the
+        # authority ('http://h?a=1' ≡ 'http://h/?a=1', RFC 3986 §6.2.3) —
+        # otherwise the two spellings get distinct dedup keys
+        F.when(pathq == "", F.lit("/"))
+        .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+        .otherwise(pathq),
     )
 
 
@@ -105,7 +110,9 @@ def url_sql_parts(url: str) -> dict[str, str]:
     norm = (
         f"{scheme} || '://' || {host} || "
         f"(CASE WHEN {keep} THEN ':' || {port} ELSE '' END) || "
-        f"(CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END)"
+        f"(CASE WHEN {pathq} = '' THEN '/' "
+        f"WHEN {pathq} LIKE '?%' THEN '/' || {pathq} "
+        f"ELSE {pathq} END)"
     )
     last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
     last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"

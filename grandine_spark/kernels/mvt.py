@@ -344,7 +344,6 @@ def decode_geometry(geom_type: int, commands: list[int]):
     i, cx, cy = 0, 0, 0
     parts: list[np.ndarray] = []
     cur: list[list[int]] = []
-    closed: list[bool] = []
     while i < len(commands):
         cmd = commands[i] & 0x7
         count = commands[i] >> 3
@@ -355,14 +354,13 @@ def decode_geometry(geom_type: int, commands: list[int]):
                 i += 2
                 cur = [[cx, cy]]
                 parts.append(cur)  # type: ignore[arg-type]
-                closed.append(False)
         elif cmd == CMD_LINETO:
             for _ in range(count):
                 cx += _unzigzag32(commands[i]); cy += _unzigzag32(commands[i + 1])
                 i += 2
                 cur.append([cx, cy])
         elif cmd == CMD_CLOSEPATH:
-            closed[-1] = True
+            pass  # closure is implicit in the ring shape the caller gets
         else:
             raise ValueError(f"unknown command {cmd}")
     arrs = [np.asarray(p, np.float64) for p in parts]

@@ -147,9 +147,14 @@ def pagerank(
     ``localCheckpoint`` (the standard iterative-plan pattern; see
     connected_components above).
 
-    Self-loops are dropped and duplicate edges collapse to one; ranks
-    depend only on the edge set. No reference parity (grandine has no
-    graph operator) — a BASELINE training-pipeline extension.
+    Self-loops are dropped, duplicate edges collapse to one, and edges
+    touching nodes OUTSIDE ``nodes`` are dropped (induced subgraph): on a
+    real link graph most dsts are uncrawled, and keeping such edges would
+    leak their src's rank mass out of the distribution every iteration —
+    a node whose links all point outside becomes dangling instead, so its
+    mass is recycled. Ranks depend only on the induced edge set. No
+    reference parity (grandine has no graph operator) — a BASELINE
+    training-pipeline extension.
     """
     n = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
     e = (
@@ -158,6 +163,8 @@ def pagerank(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .join(n.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(n.withColumnRenamed("node", "dst"), "dst", "left_semi")
         .repartition("src")
         .persist()
     )

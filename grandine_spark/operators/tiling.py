@@ -269,6 +269,48 @@ def _coverage_via_anchors(
     )
 
 
+def _routed_coverage(
+    features: DataFrame,
+    zooms: list[int],
+    anchor_cells: dict[int, "tuple[int, DataFrame]"] | None = None,
+) -> DataFrame | None:
+    """Unioned per-zoom coverage with the routed layer — the shared first
+    stage of :func:`build_tiles` and :func:`tile_digests` (digest-vs-tile
+    byte-identity depends on both seeing the exact same rows, so this
+    exists once). Columns: tile_z/x/y, feature_id, layer_name, wkb, props.
+    ``None`` when no zoom has work (anchor mode with an empty work list).
+
+    Anchor mode (incremental): hierarchical coverage — explode to the
+    coarse ANCHOR cells first (cheap: a handful per feature),
+    hash-semi-join against the changed anchors, then explode only the
+    fine cells INSIDE surviving anchors. Without this, a deep-zoom
+    explode of the whole corpus runs just to be semi-joined away
+    (measured at ~the full rebuild's cost on a 1% delta); with it the
+    fine explode volume tracks the delta. Anchors are disjoint, so no
+    duplicate (feature, cell) pairs."""
+    per_zoom = []
+    for z in zooms:
+        if anchor_cells is not None:
+            if z not in anchor_cells:
+                continue  # no work cell at this zoom: skip the branch
+            az, anchors = anchor_cells[z]
+            cov = _coverage_via_anchors(features, z, az, anchors)
+        else:
+            cov = coverage_at(features, z)
+        cov = cov.withColumn("layer_name", TX.layer_route(F.col("props")))
+        per_zoom.append(
+            cov.select(
+                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "wkb", "props"
+            )
+        )
+    if not per_zoom:
+        return None
+    all_cov = per_zoom[0]
+    for p in per_zoom[1:]:
+        all_cov = all_cov.unionByName(p)
+    return all_cov
+
+
 def build_tiles(
     features: DataFrame,
     zooms: list[int],
@@ -290,34 +332,9 @@ def build_tiles(
     merge are order-sensitive), so groups are never split; rows are sorted
     by feature_id inside the UDF for shuffle-order independence.
     """
-    per_zoom = []
-    for z in zooms:
-        if anchor_cells is not None:
-            # incremental mode: hierarchical coverage — explode to the
-            # coarse ANCHOR cells first (cheap: a handful per feature),
-            # hash-semi-join against the changed anchors, then explode only
-            # the fine cells INSIDE surviving anchors. Without this, a
-            # deep-zoom explode of the whole corpus runs just to be
-            # semi-joined away (measured at ~the full rebuild's cost on a
-            # 1% delta); with it the fine explode volume tracks the delta.
-            # Anchors are disjoint, so no duplicate (feature, cell) pairs.
-            if z not in anchor_cells:
-                continue  # no work cell at this zoom: skip the branch
-            az, anchors = anchor_cells[z]
-            cov = _coverage_via_anchors(features, z, az, anchors)
-        else:
-            cov = coverage_at(features, z)
-        cov = cov.withColumn("layer_name", TX.layer_route(F.col("props")))
-        per_zoom.append(
-            cov.select(
-                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "wkb", "props"
-            )
-        )
-    if not per_zoom:
+    all_cov = _routed_coverage(features, zooms, anchor_cells)
+    if all_cov is None:
         return features.sparkSession.createDataFrame([], TILES_SCHEMA)
-    all_cov = per_zoom[0]
-    for p in per_zoom[1:]:
-        all_cov = all_cov.unionByName(p)
 
     if only_cells is not None:
         # exact restriction to the work cells. The list is delta-sized —
@@ -407,18 +424,7 @@ def tile_digests(features: DataFrame, zooms: list[int]) -> DataFrame:
 
     Scale: one coverage explode + ONE shuffle per call, same cost shape as
     the tiler's own first stage; no driver participation."""
-    per_zoom = []
-    for z in zooms:
-        cov = coverage_at(features, z).withColumn(
-            "layer_name", TX.layer_route(F.col("props"))
-        )
-        per_zoom.append(
-            cov.select("tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
-                       "wkb", "props")
-        )
-    all_cov = per_zoom[0]
-    for p in per_zoom[1:]:
-        all_cov = all_cov.unionByName(p)
+    all_cov = _routed_coverage(features, zooms)
     canon_props = F.to_json(F.map_from_entries(F.array_sort(F.map_entries("props"))))
     h = F.conv(
         F.substring(

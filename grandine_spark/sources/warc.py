@@ -29,7 +29,6 @@ from __future__ import annotations
 import gzip
 import io
 import zlib
-from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,20 +41,40 @@ RECORD_SCHEMA = (
 )
 
 
-def _split_members(data: bytes) -> Iterator[bytes]:
-    """Decompressed chunks of a (possibly multi-member) gzip stream, or
-    the input itself if not gzip."""
+def _decompress_archive(data: bytes) -> tuple[bytes, int]:
+    """(decompressed bytes, decompress-error count) of a possibly
+    multi-member gzip stream; non-gzip input passes through.
+
+    Feeds each member bounded zero-copy memoryview windows, so the whole
+    archive is O(total bytes). (The obvious per-member ``decompressobj``
+    over ``data[pos:]`` re-copies the remaining tail once per member —
+    O(members × size), hours of memcpy on a real ~10^5-member
+    Common-Crawl archive. ``gzip.GzipFile`` is O(n) but discards every
+    already-decompressed byte of the read() call that hits a truncated
+    member, losing whole clean records.) A member cut off mid-stream
+    keeps its clean decompressed prefix and counts ONE error, so
+    truncation is never silent even when the lost part held the record
+    header."""
     if not data.startswith(GZIP_MAGIC):
-        yield data
-        return
-    pos = 0
-    while pos < len(data) and data[pos : pos + 2] == GZIP_MAGIC:
+        return data, 0
+    mv = memoryview(data)
+    out: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        yield d.decompress(data[pos:])
-        rest = d.unused_data
-        pos = len(data) - len(rest)
-        if not rest:
-            break
+        try:
+            while pos < n and not d.eof:
+                window = mv[pos : pos + (1 << 20)]
+                out.append(d.decompress(window))
+                # before eof the whole window is consumed (no max_length →
+                # empty unconsumed_tail); at eof unused_data is the part of
+                # THIS window past the member end — bounded, not the tail
+                pos += len(window) - len(d.unused_data)
+        except zlib.error:
+            return b"".join(out), 1  # corrupt member: keep the clean prefix
+        if not d.eof:
+            return b"".join(out), 1  # ran out of bytes mid-member: truncated
+    return b"".join(out), 0
 
 
 def parse_warc(data: bytes) -> tuple[list[dict], int]:
@@ -65,53 +84,55 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
     content_type, payload (bytes; for ``response`` records the HTTP body
     with the HTTP header block stripped)."""
     records: list[dict] = []
-    errors = 0
-    for chunk in _split_members(data):
-        off = 0
-        while off < len(chunk):
-            start = chunk.find(b"WARC/", off)
-            if start < 0:
-                break
-            head_end = chunk.find(b"\r\n\r\n", start)
-            if head_end < 0:
-                errors += 1
-                break
-            headers: dict[str, str] = {}
-            try:
-                lines = chunk[start:head_end].decode("utf-8", "replace").split("\r\n")
-                for line in lines[1:]:
-                    k, _, v = line.partition(":")
-                    headers[k.strip().lower()] = v.strip()
-                length = int(headers["content-length"])
-            except (KeyError, ValueError):
-                errors += 1
-                off = head_end + 4
-                continue
-            payload = chunk[head_end + 4 : head_end + 4 + length]
-            off = head_end + 4 + length
-            if chunk[off : off + 4] == b"\r\n\r\n":
-                off += 4
-            rtype = headers.get("warc-type", "")
-            status = None
-            ctype = headers.get("content-type", "")
-            if rtype in ("response", "request") and payload.startswith(b"HTTP/"):
-                http_end = payload.find(b"\r\n\r\n")
-                if http_end >= 0:
-                    status_line = payload[:http_end].split(b"\r\n", 1)[0]
-                    parts = status_line.split()
-                    if len(parts) >= 2 and parts[1].isdigit():
-                        status = int(parts[1])
-                    payload = payload[http_end + 4 :]
-            records.append(
-                {
-                    "record_type": rtype,
-                    "url": headers.get("warc-target-uri"),
-                    "warc_ts": headers.get("warc-date"),
-                    "http_status": status,
-                    "content_type": ctype,
-                    "payload": payload,
-                }
-            )
+    chunk, errors = _decompress_archive(data)
+    off = 0
+    while off < len(chunk):
+        start = chunk.find(b"WARC/", off)
+        if start < 0:
+            break
+        head_end = chunk.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            errors += 1
+            break
+        headers: dict[str, str] = {}
+        try:
+            lines = chunk[start:head_end].decode("utf-8", "replace").split("\r\n")
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            errors += 1
+            off = head_end + 4
+            continue
+        payload = chunk[head_end + 4 : head_end + 4 + length]
+        if len(payload) < length:  # truncated archive: corrupt body —
+            errors += 1  # count it, never emit a silently-short record
+            break
+        off = head_end + 4 + length
+        if chunk[off : off + 4] == b"\r\n\r\n":
+            off += 4
+        rtype = headers.get("warc-type", "")
+        status = None
+        ctype = headers.get("content-type", "")
+        if rtype in ("response", "request") and payload.startswith(b"HTTP/"):
+            http_end = payload.find(b"\r\n\r\n")
+            if http_end >= 0:
+                status_line = payload[:http_end].split(b"\r\n", 1)[0]
+                parts = status_line.split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                payload = payload[http_end + 4 :]
+        records.append(
+            {
+                "record_type": rtype,
+                "url": headers.get("warc-target-uri"),
+                "warc_ts": headers.get("warc-date"),
+                "http_status": status,
+                "content_type": ctype,
+                "payload": payload,
+            }
+        )
     return records, errors
 
 
@@ -193,8 +214,17 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
         )
         .select(
             "url",
-            F.to_timestamp(
-                F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            # try_to_timestamp, not to_timestamp: under Spark 4's default
+            # ANSI mode a malformed (or fractional-second WARC/1.1)
+            # WARC-Date would otherwise throw and kill the task — the
+            # error-isolation rule says skip, never fail. Canonical
+            # seconds-precision form first, then Spark's general ISO-8601
+            # parser for fractional/offset variants; unparseable → NULL.
+            F.coalesce(
+                F.try_to_timestamp(
+                    F.col("warc_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+                ),
+                F.try_to_timestamp(F.col("warc_ts")),
             ).alias("warc_ts"),
             F.col("payload").alias("html"),
         )

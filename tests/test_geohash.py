@@ -130,3 +130,8 @@ def test_quadkey_matches_reference_and_inverts(spark):
         assert (r.bx, r.by) == (r.x, r.y)  # decode inverts encode
         # prefix property: first 5 chars = quadkey of the z5 ancestor
         assert r.qk[:5] == ref_quadkey(r.x >> 7, r.y >> 7, 5)
+
+    # zoom 0: the world tile's quadkey is the EMPTY STRING (a Column, not
+    # None — a None return crashes .alias on the caller side)
+    z0 = df.limit(1).select(quadkey(F.col("x"), F.col("y"), 0).alias("qk")).collect()
+    assert z0[0].qk == ""

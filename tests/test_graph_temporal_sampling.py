@@ -466,3 +466,13 @@ def test_pagerank_mass_and_structure(spark):
     )
     pr3 = {r.node: r.rank for r in pagerank(n2, e_dirty, n_iter=15).collect()}
     assert pr3 == pr2
+
+    # edges into UNCRAWLED nodes (dst outside the node table) are dropped
+    # — the induced-subgraph rule — so mass still sums to 1 instead of
+    # leaking out through the absent node every iteration
+    e_leaky = e2.unionByName(
+        spark.createDataFrame([(0, 99), (1, 98)], "src long, dst long")
+    )
+    pr4 = {r.node: r.rank for r in pagerank(n2, e_leaky, n_iter=15).collect()}
+    assert abs(sum(pr4.values()) - 1.0) < 1e-9
+    assert set(pr4) == {0, 1}

@@ -30,6 +30,10 @@ CASES = [
      "ftp://files.example.org/"),
     # query preserved byte-for-byte (reordering is not semantics-safe)
     ("http://e.com/p?b=2&a=1", "e.com", "e.com", "http://e.com/p?b=2&a=1"),
+    # query directly on the authority: empty path still normalizes to '/'
+    # (RFC 3986 §6.2.3 — must collide with the explicit-slash spelling)
+    ("http://e.com?page=2", "e.com", "e.com", "http://e.com/?page=2"),
+    ("http://e.com/?page=2", "e.com", "e.com", "http://e.com/?page=2"),
 ]
 
 

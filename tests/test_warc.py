@@ -58,6 +58,21 @@ def test_malformed_record_is_skipped_not_fatal():
     assert [r["url"] for r in back] == ["http://a.example/p0", "http://a.example/p1"]
 
 
+def test_truncated_record_counts_error_never_short_payload():
+    """A cut-off archive (Content-Length beyond EOF) must surface as an
+    error, not a silently-truncated page body."""
+    plain = build_warc(_recs(2), gzip_members=False)
+    cut = plain[: len(plain) - 20]  # clip into the 2nd record's payload
+    back, errs = parse_warc(cut)
+    assert errs == 1
+    assert [r["url"] for r in back] == ["http://a.example/p0"]
+    # gzip-member layout, member truncated mid-stream: clean prefix parses
+    gz = build_warc(_recs(3), gzip_members=True)
+    back2, errs2 = parse_warc(gz[: len(gz) - 15])
+    assert [r["url"] for r in back2] == ["http://a.example/p0", "http://a.example/p1"]
+    assert errs2 >= 1
+
+
 def test_distributed_scan_and_pages_shape(spark, tmp_path):
     # several archives on disk → binaryFile scan → records, one task/file
     for f in range(3):
@@ -90,6 +105,24 @@ def test_distributed_scan_and_pages_shape(spark, tmp_path):
     assert got.count() == 2
     all_recs = read_warc(spark, str(tmp_path / "mixed.warc.gz"))
     assert all_recs.count() == 4  # reader itself surfaces everything
+
+    # WARC/1.1 fractional-second and malformed dates must not kill the
+    # task under Spark 4's default ANSI mode: fractional parses, garbage
+    # lands as NULL (error-isolation rule)
+    odd = [
+        {"url": "http://x/frac", "warc_ts": "2017-01-01T00:00:00.123Z",
+         "http_status": 200, "payload": b"f"},
+        {"url": "http://x/bad", "warc_ts": "not-a-date",
+         "http_status": 200, "payload": b"b"},
+    ]
+    (tmp_path / "odd.warc.gz").write_bytes(build_warc(odd))
+    rows = {
+        r.url: r.warc_ts
+        for r in read_warc_pages(spark, str(tmp_path / "odd.warc.gz")).collect()
+    }
+    assert rows["http://x/frac"] is not None
+    assert rows["http://x/frac"].microsecond == 123000
+    assert rows["http://x/bad"] is None
 
 
 def test_pages_feed_html_extract(spark, tmp_path):
