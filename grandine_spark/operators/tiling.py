@@ -587,6 +587,33 @@ def incremental_tiles_delta(
         for z, cells in anchor_of.items()
     }
 
+    # geographic PREFILTER from the anchor rectangles: a feature whose bbox
+    # misses every anchor box cannot cover any work cell at any zoom, so it
+    # can be dropped BEFORE the per-zoom coverage branches. This predicate
+    # pushes down to the parquet scan (row-group min/max skipping), turning
+    # 5 full-corpus scans into 5 scans of the delta's neighborhood —
+    # measured as the dominant cost of the restricted rebuild. Anchor boxes
+    # are few (they live at zoom ≤ 7 and the delta is regional), and
+    # duplicates across zooms collapse; with an unexpectedly wide spread
+    # the OR-chain is skipped rather than built 1000 terms deep.
+    from ..kernels.tilemath import tile_bbox
+
+    boxes = {
+        tile_bbox(ax, ay, az)
+        for z, (az, adf) in anchors.items()
+        for ax, ay in anchor_of[z]
+    }
+    if len(boxes) <= 64:
+        eps = 1e-9  # boundary features: coverage clamps to the cell edge
+        pred = None
+        for bminx, bminy, bmaxx, bmaxy in sorted(boxes):
+            term = (
+                (F.col("minx") <= bmaxx + eps) & (F.col("maxx") >= bminx - eps)
+                & (F.col("miny") <= bmaxy + eps) & (F.col("maxy") >= bminy - eps)
+            )
+            pred = term if pred is None else (pred | term)
+        new_features = new_features.filter(pred)
+
     keep = old_tiles.join(
         F.broadcast(cells_local), ["tile_z", "tile_x", "tile_y"], "left_anti"
     )
