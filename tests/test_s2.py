@@ -58,6 +58,31 @@ def test_hilbert_continuity_and_bijection():
         assert (back == pos).all()
 
 
+def test_chunked_hilbert_equals_per_level_walk():
+    """The table-chunked hilbert_pos is exactly the one-level state
+    machine at every level, including levels not divisible by the chunk
+    width (remainder chunks) and level 0."""
+
+    def ref_pos(face, i, j, level):
+        orient = face & 1
+        pos = np.zeros(np.shape(i), np.int64)
+        for k in range(level - 1, -1, -1):
+            ij = ((i >> k) & 1) * 2 + ((j >> k) & 1)
+            p = s2.IJ_TO_POS[orient, ij]
+            pos = (pos << 2) | p
+            orient = orient ^ s2.POS_TO_ORIENT[p]
+        return pos
+
+    rng = np.random.default_rng(7)
+    for level in (0, 1, 2, 3, 4, 5, 8, 12, 13, 29):
+        face = rng.integers(0, 6, 2000)
+        hi = max(1 << level, 1)
+        i = rng.integers(0, hi, 2000)
+        j = rng.integers(0, hi, 2000)
+        got = s2.hilbert_pos(face, i, j, level)
+        assert np.array_equal(got, ref_pos(face, i, j, level)), level
+
+
 def test_face_shares_equal_area():
     # uniform-on-sphere sample → ~1/6 of points per face (quadratic ST)
     rng = np.random.RandomState(3)
