@@ -278,3 +278,29 @@ def test_image_stats_single_mapinpandas_no_exchange(spark, tmp_path):
     assert len(rows) == 20 and all(
         (r.width, r.height, r.channels, r.mean_px) == (5, 4, 3, 7.0) for r in rows
     )
+
+
+def test_incremental_tiles_prefilter_pushed_to_scan(spark, tmp_path):
+    """The incremental re-tile's anchor-bbox prefilter must reach the
+    feature scan as PushedFilters (row-group min/max skipping) — that
+    predicate is what makes the restricted rebuild's scan cost track the
+    delta's neighborhood instead of the corpus (PLANS.md)."""
+    from grandine_spark.operators.tiling import build_tiles, incremental_tiles_delta
+    from grandine_spark.sources import synth
+
+    path = str(tmp_path / "feats")
+    synth.features(spark, n_polygons=40, n_roads=0, n_pois=20).write.parquet(path)
+    feats = spark.read.parquet(path)
+    zooms = [2, 5, 8]
+    removed = feats.limit(3)
+    added = removed.withColumn(
+        "props", F.map_concat("props", F.create_map(F.lit("v"), F.lit("2")))
+    )
+    new_feats = feats.join(removed.select("feature_id"), "feature_id", "left_anti"
+                           ).unionByName(added)
+    old = build_tiles(feats, zooms)
+    out = incremental_tiles_delta(old, new_feats, removed, added, zooms)
+    plan = plan_of(out)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    # at least one feature scan carries the bbox bounds pushed down
+    assert any("minx" in l and "maxx" in l for l in pushed), plan
