@@ -59,7 +59,14 @@ def url_port(url: Column) -> Column:
 
 
 def url_normalize(url: Column) -> Column:
-    """Canonical dedup key per the module contract."""
+    """Canonical dedup key per the module contract.
+
+    Unparseable URLs (no scheme://authority — common in malformed
+    WARC-Target-URIs) fall back to the RAW input as their key: every regexp
+    extracts '' on them, and collapsing them all to the ':///' concat would
+    merge byte-different URLs naming different resources into one dedup
+    group (data loss). The raw fallback can never collide with a normalized
+    key, because any string matching scheme://host would have parsed."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = url_host(url)
     port = url_port(url)
@@ -69,7 +76,7 @@ def url_normalize(url: Column) -> Column:
         & ~((scheme == "https") & (port == "443"))
     )
     pathq = F.regexp_extract(url, _PATHQ_RE, 1)
-    return F.concat(
+    normalized = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -81,6 +88,7 @@ def url_normalize(url: Column) -> Column:
         .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
         .otherwise(pathq),
     )
+    return F.when((scheme == "") | (host == ""), url).otherwise(normalized)
 
 
 def registered_domain(host: Column) -> Column:
@@ -107,12 +115,17 @@ def url_sql_parts(url: str) -> dict[str, str]:
         f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
         f"AND NOT ({scheme} = 'https' AND {port} = '443'))"
     )
-    norm = (
+    norm_concat = (
         f"{scheme} || '://' || {host} || "
         f"(CASE WHEN {keep} THEN ':' || {port} ELSE '' END) || "
         f"(CASE WHEN {pathq} = '' THEN '/' "
         f"WHEN {pathq} LIKE '?%' THEN '/' || {pathq} "
         f"ELSE {pathq} END)"
+    )
+    # same unparseable-URL raw fallback as url_normalize
+    norm = (
+        f"(CASE WHEN {scheme} = '' OR {host} = '' THEN {url} "
+        f"ELSE {norm_concat} END)"
     )
     last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
     last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geometry import ring_bbox, segment_intersection
+from .geometry import chain_segments, ring_bbox, segment_intersection
 from .rounding import round8
 
 # bbox is (minx, miny, maxx, maxy) everywhere in this module.
@@ -112,17 +112,8 @@ def clip_line(line: np.ndarray, bbox) -> list[np.ndarray]:
         cutsegs.extend(clip_segment(seg, bbox))
     if not cutsegs:
         return []
-
     # NewLinesFromSegments re-chaining (lib/spatial/line.go:10-23)
-    lines: list[list] = [[]]
-    for i, seg in enumerate(cutsegs):
-        if i != 0 and seg[0] != cutsegs[i - 1][1]:
-            lines[-1].append(cutsegs[i - 1][1])
-            lines.append([seg[0]])
-            continue
-        lines[-1].append(seg[0])
-    lines[-1].append(cutsegs[-1][1])
-    return [np.asarray(ln, np.float64) for ln in lines]
+    return chain_segments(cutsegs)
 
 
 def _ring_area2_pts(pts) -> float:

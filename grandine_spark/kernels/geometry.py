@@ -147,6 +147,26 @@ def points_in_polygon_np(px: np.ndarray, py: np.ndarray, polygon) -> np.ndarray:
 
     ox, oy = minx - 1.0, miny - 1.0  # outside test point (point.go:86)
 
+    # The core builds (N,M) matrices: at the join's recommended 512k-row
+    # Arrow batches against a 10k-vertex polygon that is ~40 GB per float64
+    # matrix — instant executor OOM. Bound peak memory by (a) evaluating
+    # only the points that survived the bbox pretest and (b) chunking the
+    # point axis so each matrix stays ~2M elements regardless of M.
+    out = np.zeros(n, dtype=bool)
+    idx = np.flatnonzero(pre)
+    chunk = max(1, _PIP_CHUNK_ELEMS // max(len(s0), 1))
+    for lo in range(0, len(idx), chunk):
+        sel = idx[lo : lo + chunk]
+        out[sel] = _pip_rays(px[sel], py[sel], s0, s1, ox, oy)
+    return out
+
+
+_PIP_CHUNK_ELEMS = 2_000_000  # per-(N,M)-matrix element budget (~32 MB complex)
+
+
+def _pip_rays(px, py, s0, s1, ox, oy):
+    """Dense ray-cast core over one point chunk vs one segment soup."""
+    n = px.shape[0]
     # ray segment (p → out) cartesian coefficients, per point
     a1 = py - oy
     b1 = np.full(n, ox) - px
@@ -189,8 +209,7 @@ def points_in_polygon_np(px: np.ndarray, py: np.ndarray, polygon) -> np.ndarray:
     counts = distinct + first.astype(np.int64)
 
     hits_self = (valid & (ix == px[:, None]) & (iy == py[:, None])).any(axis=1)
-    inside = np.where(counts % 2 == 1, True, hits_self)
-    return pre & inside
+    return np.where(counts % 2 == 1, True, hits_self)
 
 
 # --------------------------------------------------------------------------
@@ -291,18 +310,29 @@ def simplify_rdp(line: np.ndarray, epsilon: float) -> np.ndarray:
     if len(pts) < 3:
         return pts.copy()
 
-    sx1, sy1 = float(pts[0, 0]), float(pts[0, 1])
-    sx2, sy2 = float(pts[-1, 0]), float(pts[-1, 1])
-    max_dist, index = 0.0, 0
-    for i in range(1, len(pts) - 1):
-        dist = _dist_seg_pt(sx1, sy1, sx2, sy2, float(pts[i, 0]), float(pts[i, 1]))
-        if dist > max_dist:
-            max_dist, index = dist, i
-    if max_dist > epsilon:
-        left = simplify_rdp(pts[: index + 1], epsilon)
-        right = simplify_rdp(pts[index:], epsilon)
-        return np.concatenate([left[:-1], right])
-    return np.array([[sx1, sy1], [sx2, sy2]], dtype=np.float64)
+    # Explicit-stack keep-mask form: identical output to the reference's
+    # recursion, but bounded memory on adversarial inputs (a decreasing-
+    # amplitude zigzag makes the split point always index 1, nesting O(n)
+    # deep and overflowing the Python stack at a few thousand vertices).
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        sx1, sy1 = float(pts[lo, 0]), float(pts[lo, 1])
+        sx2, sy2 = float(pts[hi, 0]), float(pts[hi, 1])
+        max_dist, index = 0.0, lo
+        for i in range(lo + 1, hi):
+            dist = _dist_seg_pt(sx1, sy1, sx2, sy2, float(pts[i, 0]), float(pts[i, 1]))
+            if dist > max_dist:
+                max_dist, index = dist, i
+        if max_dist > epsilon:
+            keep[index] = True
+            stack.append((lo, index))
+            stack.append((index, hi))
+    return pts[keep].copy()
 
 
 # --------------------------------------------------------------------------
@@ -465,20 +495,31 @@ def dist_points_to_line_np(
 ) -> np.ndarray:
     """Vectorized min distance from each point to a polyline — the batch
     form of Segment.DistanceToPt (lib/spatial/line.go:350-379): clamped
-    projection onto each segment, planar degree metric, min over segments."""
+    projection onto each segment, planar degree metric, min over segments.
+
+    Chunked on the point axis: the pairwise core allocates (n, m, 2)
+    arrays, which at a 512k-point Arrow batch against a long polyline is
+    tens of GB — the same bound as points_in_polygon_np applies."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
     r = np.asarray(line, dtype=float)
     s1 = r[:-1]  # (m, 2)
     s2 = r[1:]
     d = s2 - s1
     len_sq = (d * d).sum(axis=1)  # (m,)
-    # pairwise: points (n, 1, 2) vs segments (1, m, 2)
-    p = np.stack([px, py], axis=1)[:, None, :]
-    a = p - s1[None, :, :]
-    dot = (a * d[None, :, :]).sum(axis=2)  # (n, m)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        param = np.where(len_sq[None, :] != 0, dot / len_sq[None, :], 0.0)
-    param = np.clip(param, 0.0, 1.0)
-    proj = s1[None, :, :] + param[:, :, None] * d[None, :, :]
-    diff = p - proj
-    dist = np.sqrt((diff * diff).sum(axis=2))  # (n, m)
-    return dist.min(axis=1)
+    n, m = px.shape[0], len(s1)
+    out = np.empty(n, np.float64)
+    chunk = max(1, _PIP_CHUNK_ELEMS // max(m, 1))
+    for lo in range(0, n, chunk):
+        # pairwise: points (c, 1, 2) vs segments (1, m, 2)
+        p = np.stack([px[lo : lo + chunk], py[lo : lo + chunk]], axis=1)[:, None, :]
+        a = p - s1[None, :, :]
+        dot = (a * d[None, :, :]).sum(axis=2)  # (c, m)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            param = np.where(len_sq[None, :] != 0, dot / len_sq[None, :], 0.0)
+        param = np.clip(param, 0.0, 1.0)
+        proj = s1[None, :, :] + param[:, :, None] * d[None, :, :]
+        diff = p - proj
+        dist = np.sqrt((diff * diff).sum(axis=2))  # (c, m)
+        out[lo : lo + chunk] = dist.min(axis=1)
+    return out

@@ -64,6 +64,11 @@ def face_uv(lat, lng):
     matching the published largest-abs-component rule."""
     lat = np.asarray(lat, np.float64)
     lng = np.asarray(lng, np.float64)
+    # 0-d inputs break the row-gather below (xyz is (3,) and the fancy
+    # index needs two axes) — lift to 1-d and unwrap on return
+    scalar = lat.ndim == 0 and lng.ndim == 0
+    if scalar:
+        lat, lng = lat.reshape(1), lng.reshape(1)
     phi = np.radians(lat)
     theta = np.radians(lng)
     cp = np.cos(phi)
@@ -73,7 +78,7 @@ def face_uv(lat, lng):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     xyz = np.stack((x, y, z))
-    rows = np.arange(x.shape[0]) if x.ndim else 0
+    rows = np.arange(x.shape[0])
     comp = xyz[axis, rows]
     face = np.where(comp >= 0, axis, axis + 3).astype(np.int64)
     # every per-face formula divides by the (signed) major component, so
@@ -83,6 +88,8 @@ def face_uv(lat, lng):
     # eager branch evaluation was most of this function's cost.
     u_num = _U_SIGN[face] * xyz[_U_AXIS[face], rows]
     v_num = _V_SIGN[face] * xyz[_V_AXIS[face], rows]
+    if scalar:
+        return face[0], (u_num / comp)[0], (v_num / comp)[0]
     return face, u_num / comp, v_num / comp
 
 
@@ -203,6 +210,10 @@ def cell_ids(lat, lng, level: int):
 def cell_center(packed, level: int):
     """(lat, lng) degree arrays of each packed cell's center point."""
     packed = np.asarray(packed, np.int64)
+    # same 0-d lift as face_uv: the scatter needs a row axis
+    scalar = packed.ndim == 0
+    if scalar:
+        packed = packed.reshape(1)
     face = packed >> (2 * level)
     pos = packed & ((np.int64(1) << (2 * level)) - 1)
     i, j = hilbert_ij(face, pos, level)
@@ -211,7 +222,7 @@ def cell_center(packed, level: int):
     v = _st_to_uv((j.astype(np.float64) + 0.5) / n)
     # exact inverse of face_uv's gathers: scatter the major component
     # (±1) and the two signed numerators back into (x, y, z)
-    rows = np.arange(u.shape[0]) if u.ndim else 0
+    rows = np.arange(u.shape[0])
     xyz = np.empty((3,) + np.shape(u), np.float64)
     comp = np.where(face < 3, 1.0, -1.0)
     xyz[face % 3, rows] = comp
@@ -220,6 +231,8 @@ def cell_center(packed, level: int):
     x, y, z = xyz[0], xyz[1], xyz[2]
     lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
     lng = np.degrees(np.arctan2(y, x))
+    if scalar:
+        return lat[0], lng[0]
     return lat, lng
 
 

@@ -20,14 +20,25 @@ from ..functions import text as TXT
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5(text): returns one row per distinct text
-    with the keeper (min id) and the duplicate count."""
+    with the keeper (min id) and the duplicate count.
+
+    NULL text (failed extraction) is NOT a duplicate class: each NULL-text doc
+    is its own singleton group (digest NULL). Without this, md5(NULL)=NULL
+    would cluster every extraction failure into one giant "duplicate" group
+    and downstream keep-one-drop-rest would delete distinct documents. The
+    group key stays a single expression, so the plan is still one scan + one
+    shuffle (the sentinel prefix "\\x00:" can never collide with a 32-hex md5)."""
+    digest = F.md5(F.col(text_col))
+    group_key = F.coalesce(digest, F.concat(F.lit("\x00:"), F.col(id_col).cast("string")))
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
-        .groupBy("digest")
+        df.select(F.col(id_col), digest.alias("digest"), group_key.alias("_gk"))
+        .groupBy("_gk")
         .agg(
+            F.min("digest").alias("digest"),
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_docs"),
         )
+        .select("digest", "keeper_id", "n_docs")
     )
 
 
@@ -37,10 +48,16 @@ def dedup_exact_pairs(df: DataFrame, id_col="doc_id", text_col="text") -> DataFr
     Shape: ONE shuffle on the digest and a window-min — no join at all. The
     keeper table has ~|distinct docs| rows, so broadcasting it (or building
     it as a separate join side) is an OOM at 10^12 docs; the window form
-    keeps everything a single exchange."""
+    keeps everything a single exchange.
+
+    NULL-text docs never pair with anything (md5(NULL)=NULL would otherwise
+    make one window partition of every extraction failure and emit all but
+    one of them as duplicates); the isNotNull filter is pushed to the scan."""
     from pyspark.sql import Window
 
-    with_digest = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    with_digest = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    ).filter(F.col("digest").isNotNull())
     w = Window.partitionBy("digest")
     return (
         with_digest.withColumn("keeper_id", F.min(id_col).over(w))
@@ -232,9 +249,14 @@ def line_dedup(
     from pyspark.sql import Window
 
     pat = re.escape(sep)
+    # coalesce: split(NULL) is NULL and posexplode would silently DROP the
+    # document, contradicting the "comes back with empty text" contract —
+    # NULL text reassembles as one empty (kept, sub-min_chars) line.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("line_no", "line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), pat, -1)).alias(
+            "line_no", "line"
+        ),
     )
     w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("line_no"))
     flagged = lines.withColumn(

@@ -121,9 +121,13 @@ def knn(
             for i in cand_ix
         ]
 
+    # the probe carries the query id in its NATIVE type — hardcoding 'long'
+    # here crashed any string/decimal query-id column at createDataFrame
+    qid_sql_type = dict(queries.dtypes)[query_id]
     probe = spark.createDataFrame(
         probe_rows,
-        "_qid long, q_lon double, q_lat double, p_cx long, p_cy long, q_d double",
+        f"_qid {qid_sql_type}, q_lon double, q_lat double,"
+        " p_cx long, p_cy long, q_d double",
     )
 
     # job 2: the one probe join + per-query top-k. The planner's D is a
@@ -157,10 +161,9 @@ def knn(
         .select("_qid", "_pid", "rank")
     )
 
-    qid_type = dict(queries.dtypes)[query_id]
     pid_type = dict(points.dtypes)[point_id]
     out = topk.select(
-        F.col("_qid").cast(qid_type).alias(query_id),
+        F.col("_qid").cast(qid_sql_type).alias(query_id),
         F.col("_pid").cast(pid_type).alias(point_id),
         "rank",
     )

@@ -128,50 +128,6 @@ def _encode_tile_geojson(by_layer: dict, x: int, y: int, z: int) -> bytes | None
     ).encode()
 
 
-def _make_encoder(gzip: bool, simplify: bool = False, codec: str = "mvt"):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels.geometry import simplify_rdp
-        from ..kernels.tilemath import resolution
-
-        z = int(pdf["tile_z"].iloc[0])
-        x = int(pdf["tile_x"].iloc[0])
-        y = int(pdf["tile_y"].iloc[0])
-        eps = resolution(z, 4096) if simplify else None
-        # deterministic order regardless of shuffle arrival
-        pdf = pdf.sort_values("feature_id", kind="mergesort")
-        by_layer: dict[str, list[dict]] = {}
-        for _, row in pdf.iterrows():
-            gt, coords = from_wkb(bytes(row["wkb"]))
-            # per-zoom simplification (Line.Simplify, lib/spatial/line.go:171-200,
-            # epsilon = the zoom's minimal describable value, tile.go:52-54;
-            # lines only, matching the dispatch in lib/spatial/geom.go:361-371)
-            if eps is not None and gt == 2:
-                coords = simplify_rdp(coords, eps)
-            props = dict(row["props"]) if row["props"] is not None else {}
-            by_layer.setdefault(row["layer_name"], []).append(
-                {"geom_type": gt, "coords": coords, "props": props}
-            )
-        if codec == "geojson":
-            buf = _encode_tile_geojson(by_layer, x, y, z)
-        else:
-            buf = encode_tile(by_layer, x, y, z)
-        if buf is not None and gzip:
-            buf = gzip_tile(buf)
-        return pd.DataFrame(
-            [
-                {
-                    "tile_z": z,
-                    "tile_x": x,
-                    "tile_y": y,
-                    "n_features": len(pdf),
-                    "tile": buf,
-                }
-            ]
-        )
-
-    return encode_group
-
-
 def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
     """Scalar pandas UDF encoding MANY tiles per Arrow batch.
 

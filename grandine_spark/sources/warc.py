@@ -37,7 +37,7 @@ GZIP_MAGIC = b"\x1f\x8b"
 
 RECORD_SCHEMA = (
     "src_file string, record_type string, url string, warc_ts string, "
-    "http_status int, content_type string, payload binary"
+    "http_status int, content_type string, payload binary, n_errors int"
 )
 
 
@@ -59,9 +59,22 @@ def _decompress_archive(data: bytes) -> tuple[bytes, int]:
         return data, 0
     mv = memoryview(data)
     out: list[bytes] = []
+    errors = 0
     pos, n = 0, len(data)
-    while pos < n and data[pos : pos + 2] == GZIP_MAGIC:
+    while pos < n:
+        if data[pos : pos + 2] != GZIP_MAGIC:
+            # garbage between members: count it and RESYNC to the next magic
+            # instead of silently dropping the rest of the archive (two
+            # flipped bytes in one member header of a 10^5-member crawl
+            # archive must not lose the other ~10^5 records)
+            errors += 1
+            nxt = data.find(GZIP_MAGIC, pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        member_start = pos
         try:
             while pos < n and not d.eof:
                 window = mv[pos : pos + (1 << 20)]
@@ -71,10 +84,17 @@ def _decompress_archive(data: bytes) -> tuple[bytes, int]:
                 # THIS window past the member end — bounded, not the tail
                 pos += len(window) - len(d.unused_data)
         except zlib.error:
-            return b"".join(out), 1  # corrupt member: keep the clean prefix
+            # corrupt member: keep its clean decompressed prefix, count ONE
+            # error, resync to the next member boundary past its start
+            errors += 1
+            nxt = data.find(GZIP_MAGIC, max(pos, member_start + 1))
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         if not d.eof:
-            return b"".join(out), 1  # ran out of bytes mid-member: truncated
-    return b"".join(out), 0
+            return b"".join(out), errors + 1  # archive ends mid-member
+    return b"".join(out), errors
 
 
 def parse_warc(data: bytes) -> tuple[list[dict], int]:
@@ -169,7 +189,13 @@ def build_warc(
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC scan: one task per archive file, records exploded
-    inside the Arrow batch. Columns: ``RECORD_SCHEMA``."""
+    inside the Arrow batch. Columns: ``RECORD_SCHEMA``.
+
+    ``n_errors`` carries the per-file malformed-record count on every row
+    of that file (``SELECT src_file, max(n_errors) GROUP BY src_file`` is
+    the operational truncation report); a file whose every record was lost
+    still surfaces as one ``record_type='__parse_error__'`` row instead of
+    silently shrinking the corpus."""
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path)
@@ -178,7 +204,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                recs, _errs = parse_warc(bytes(blob))
+                recs, errs = parse_warc(bytes(blob))
                 for r in recs:
                     rows.append(
                         (
@@ -189,13 +215,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             r["http_status"],
                             r["content_type"],
                             r["payload"],
+                            errs,
                         )
+                    )
+                if not recs and errs:
+                    rows.append(
+                        (fpath, "__parse_error__", None, None, None, None, None, errs)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "src_file", "record_type", "url", "warc_ts",
-                    "http_status", "content_type", "payload",
+                    "http_status", "content_type", "payload", "n_errors",
                 ],
             )
 
