@@ -123,17 +123,6 @@ def doc_fingerprint(text: Column) -> Column:
     Integer-exact and expressible identically in ANSI SQL (posexplode ↔
     generate_subscripts)."""
     toks = F.split(F.trim(text), r"\s+")
-    def term(i):  # noqa: E306
-        tok = F.element_at(toks, i + 1)
-        return F.when(
-            F.lit(i) < F.size(toks),
-            F.pmod(
-                F.lit(i + 1)
-                * (F.length(tok) * F.lit(131) + F.ascii(F.substring(tok, 1, 1))),
-                F.lit(_FNV_MOD),
-            ),
-        ).otherwise(F.lit(0))
-
     # closed-form over aggregate() on the token array — no per-row python
     return F.pmod(
         F.aggregate(

@@ -19,6 +19,8 @@ import math
 
 import numpy as np
 
+from .protowire import unzigzag as _pw_unzigzag, zigzag64 as _pw_zigzag64
+
 from . import clip as _clip
 from . import geometry as _geometry
 from .tilemath import tile_bbox
@@ -123,6 +125,10 @@ def _encode_line(ln: np.ndarray, cur: list[int]) -> list[int]:
     """encodeLine (lib/mvt/codec.go:239-261): MoveTo(1) first point,
     LineTo(n-1) rest; deltas zigzag-encoded; cursor carried."""
     n = len(ln)
+    if n == 0:
+        # degenerate part (everything clipped away): emit nothing rather
+        # than corrupt the command stream with a 0-count LineTo
+        return []
     commands = [0] * (n * 2 + 2)
     commands[0] = _cmd(CMD_MOVETO, 1)
     commands[3] = _cmd(CMD_LINETO, (len(commands) - 4) // 2)
@@ -199,10 +205,6 @@ def _packed_varints(field: int, values) -> bytes:
     return _ld(field, body)
 
 
-def _zigzag64(i: int) -> int:
-    return ((i << 1) ^ (i >> 63)) & 0xFFFFFFFFFFFFFFFF
-
-
 def _encode_value(v) -> bytes:
     """Tile_Value (lib/mvt/codec.go:107-137): string→f1, double→f3,
     int→sint f6, bool→f7. Everything else is stringified like the Go default."""
@@ -214,7 +216,7 @@ def _encode_value(v) -> bytes:
         b = v.encode("utf-8")
         return _ld(1, b)
     if isinstance(v, int):
-        return _tag(6, 0) + _varint(_zigzag64(v))
+        return _tag(6, 0) + _varint(_pw_zigzag64(v))
     if isinstance(v, float):
         return _tag(3, 1) + _struct.pack("<d", v)
     return _ld(1, str(v).encode("utf-8"))
@@ -322,10 +324,6 @@ def gzip_tile(buf: bytes) -> bytes:
 # --------------------------------------------------------------------------
 
 
-def _unzigzag32(v: int) -> int:
-    return (v >> 1) ^ -(v & 1)
-
-
 def _read_packed(buf: bytes) -> list[int]:
     from . import protowire as _pw
 
@@ -350,13 +348,13 @@ def decode_geometry(geom_type: int, commands: list[int]):
         i += 1
         if cmd == CMD_MOVETO:
             for _ in range(count):
-                cx += _unzigzag32(commands[i]); cy += _unzigzag32(commands[i + 1])
+                cx += _pw_unzigzag(commands[i]); cy += _pw_unzigzag(commands[i + 1])
                 i += 2
                 cur = [[cx, cy]]
                 parts.append(cur)  # type: ignore[arg-type]
         elif cmd == CMD_LINETO:
             for _ in range(count):
-                cx += _unzigzag32(commands[i]); cy += _unzigzag32(commands[i + 1])
+                cx += _pw_unzigzag(commands[i]); cy += _pw_unzigzag(commands[i + 1])
                 i += 2
                 cur.append([cx, cy])
         elif cmd == CMD_CLOSEPATH:

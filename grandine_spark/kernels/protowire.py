@@ -57,6 +57,11 @@ def zigzag64(i: int) -> int:
     return ((i << 1) ^ (i >> 63)) & 0xFFFFFFFFFFFFFFFF
 
 
+def unzigzag(v: int) -> int:
+    """Inverse of zigzag32/zigzag64 (width-independent on the int domain)."""
+    return (v >> 1) ^ -(v & 1)
+
+
 def iter_fields(buf: bytes):
     """Yield (field_number, wire_type, value) over a message buffer.
     value: int for varint(0), bytes for LD(2), 8-byte buf for 64-bit(1),

@@ -58,9 +58,17 @@ def _pin_width(df: DataFrame, *keys: str) -> DataFrame:
 def resolve_way_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """ways(way_id, node_ids array<bigint>, props) × nodes(node_id, lon, lat)
     → (way_id, coords array<struct<x,y>>, props) with node order preserved.
-    Pure relational: posexplode → equi-join → array_sort(collect_list)."""
+    Pure relational: posexplode → equi-join → array_sort(collect_list).
+
+    Ways referencing nodes absent from ``nodes`` (truncated extract,
+    boundary-clipped PBF) are DROPPED whole: the inner join would otherwise
+    splice the gap shut and emit a silently-corrupted line — and a closed
+    area way missing its first/last node would demote to a LineString."""
     member = ways.select(
-        "way_id", "props", F.posexplode("node_ids").alias("pos", "node_id")
+        "way_id",
+        "props",
+        F.size("node_ids").alias("_n_refs"),
+        F.posexplode("node_ids").alias("pos", "node_id"),
     )
     resolved = member.join(nodes, "node_id", "inner")
     return (
@@ -68,10 +76,12 @@ def resolve_way_coords(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         .groupBy("way_id")
         .agg(
             F.first("props").alias("props"),
+            F.first("_n_refs").alias("_n_refs"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("lon"), F.col("lat")))
             ).alias("_ordered"),
         )
+        .filter(F.size("_ordered") == F.col("_n_refs"))
         .select(
             "way_id",
             "props",
@@ -153,9 +163,14 @@ def assemble_multipolygons(
                     ring = np.array([[c["x"], c["y"]] for c in m["coords"]], float)
                     if len(ring) > 1 and (ring[0] == ring[-1]).all():
                         ring = ring[:-1]
-                    (outers if m["role"] == "outer" else inners).append(
-                        (int(m["way_id"]), ring)
-                    )
+                    # reference parity (spatialize.go:310): only explicit
+                    # 'outer'/'inner' roles participate — any other role
+                    # (incl. the empty role some OSM tools emit for outers)
+                    # is skipped, NOT misfiled as a hole
+                    if m["role"] == "outer":
+                        outers.append((int(m["way_id"]), ring))
+                    elif m["role"] == "inner":
+                        inners.append((int(m["way_id"]), ring))
                 outers.sort(key=lambda t: t[0])
                 inners.sort(key=lambda t: t[0])
                 rings = [x[1] for x in outers] + [x[1] for x in inners]

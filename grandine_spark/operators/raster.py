@@ -87,6 +87,11 @@ def resample_to_polygons(
     cells = TX.explode_coverage(
         polygons.filter(F.col("geom_type") == 3), zoom
     ).select("feature_id", "tile_x", "tile_y")
+    if "tile_z" in raster.columns:
+        # a multi-zoom raster (e.g. cell_pyramid output) carries colliding
+        # x/y at every level — joining without the zoom constraint silently
+        # inflates n_points with counts from unrelated resolutions
+        raster = raster.filter(F.col("tile_z") == zoom)
     return (
         cells.join(raster, ["tile_x", "tile_y"], "left")
         .groupBy("feature_id")
@@ -129,7 +134,11 @@ def focal_mean(
     size, not the data size — the same cost model as the coverage explode
     the tiler uses."""
     n = 1 << zoom
-    offs = [(dx, dy) for dx in range(-radius, radius + 1) for dy in range(-radius, radius + 1)]
+    # canonical wrapped dx classes: at tiny zooms (2^zoom <= 2·radius) raw
+    # offsets alias after the mod-n wrap (dx=-1 and dx=+1 both land on the
+    # same ring cell at zoom 1) and a neighbor would contribute twice
+    dxs = sorted({dx % n for dx in range(-radius, radius + 1)})
+    offs = [(dx, dy) for dx in dxs for dy in range(-radius, radius + 1)]
     contrib = raster.select(
         F.explode(
             F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])

@@ -48,7 +48,17 @@ def asof_join(
 
     ``right_seq`` breaks equal-timestamp ties (greatest wins); required for
     a deterministic result if (on, right_ts) is not unique in ``right``.
+
+    ``right_cols`` may not collide with a left column name: the output
+    would carry two columns of that name and every downstream by-name
+    reference would hit AMBIGUOUS_REFERENCE — rename on the way in.
     """
+    clash = sorted(set(right_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} collide with left columns; alias them on "
+            "the right DataFrame before the asof_join"
+        )
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof")
     seq = F.col(right_seq).cast("long") if right_seq else F.lit(0).cast("long")
     # right rows sort before left at equal ts for inclusive (<=) semantics,

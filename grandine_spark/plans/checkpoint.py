@@ -15,7 +15,7 @@ not available in this sandbox, so the parquet backend is the tested one.
 Lineage digests are ORDER- and PARTITIONING-INDEPENDENT: each row hashes via
 xxhash64 of its JSON form, rows are bucketed by a deterministic key hash
 (NOT spark_partition_id, which is plan-dependent), and the per-bucket digest
-is the sum of row hashes mod 2^63 — so local[1] and local[32] produce the
+is the sum of row hashes mod 2^61 — so local[1] and local[32] produce the
 same lineage bytes, which the tests assert.
 """
 

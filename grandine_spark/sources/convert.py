@@ -28,30 +28,47 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
     if ext == ".csv":
         return read_geocsv(spark, path)
     if ext == ".spaten":
-        with open(path, "rb") as f:
-            feats = spaten_codec.read_features(f.read())
-        rows = []
-        for ft in feats:
-            bb = ft.get("bbox")
-            if bb is None:
-                from ..kernels.wkb import geom_bbox
-
-                bb = geom_bbox(*from_wkb(ft["wkb"]))
-            rows.append(
-                (
-                    ft["props"].get("@layer"),
-                    int(ft["geom_type"]),
-                    bytes(ft["wkb"]),
-                    *[float(x) for x in bb],
-                    {str(k): str(v) for k, v in ft["props"].items()},
-                )
-            )
-        from .geojson import _ROW_SCHEMA
-
-        return spark.createDataFrame(rows, _ROW_SCHEMA)
+        return read_spaten(spark, path)
     if ext == ".parquet":
         return spark.read.parquet(path)
     raise ValueError(f"file type of {path} is not supported")
+
+
+def read_spaten(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Spaten scan: one task per file, blocks decoded executor-
+    side inside the Arrow batch (same file-level parallelism as the WARC
+    reader). The old form read+decoded the whole file on the driver and
+    shipped a Python feature list through createDataFrame — a driver OOM
+    at exactly the scale the write side was built to avoid."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.wkb import geom_bbox
+    from .geojson import _ROW_SCHEMA
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for ft in spaten_codec.read_features(bytes(blob)):
+                    bb = ft.get("bbox")
+                    if bb is None:
+                        bb = geom_bbox(*from_wkb(ft["wkb"]))
+                    rows.append(
+                        (
+                            ft["props"].get("@layer"),
+                            int(ft["geom_type"]),
+                            bytes(ft["wkb"]),
+                            *[float(x) for x in bb],
+                            {str(k): str(v) for k, v in ft["props"].items()},
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _ROW_SCHEMA.fields])
+
+    return files.select("content").mapInPandas(run, _ROW_SCHEMA)
 
 
 def convert(

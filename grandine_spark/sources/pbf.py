@@ -28,13 +28,9 @@ from __future__ import annotations
 import struct
 import zlib
 
-from ..kernels.protowire import iter_fields, read_varint
+from ..kernels.protowire import iter_fields, read_varint, unzigzag as _unzigzag
 
 _MEMBER_TYPES = {0: "node", 1: "way", 2: "relation"}
-
-
-def _unzigzag(v: int) -> int:
-    return (v >> 1) ^ -(v & 1)
 
 
 def _packed_varints(buf: bytes) -> list[int]:
@@ -238,19 +234,14 @@ def read_pbf(spark, path: str):
 # can be round-trip-tested hermetically (and to emit small extracts). Field
 # numbers per the vendored osmformat.proto / fileformat.proto.
 
-from ..kernels.protowire import ld, tag  # noqa: E402
+from ..kernels.protowire import (  # noqa: E402
+    ld,
+    packed_varints as _packed,
+    tag,
+    zigzag64 as _zigzag64,
+)
 
 _DEFAULT_GRAN = 100
-
-
-def _zigzag64(v: int) -> int:
-    return ((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF
-
-
-def _packed(field: int, vals) -> bytes:
-    from ..kernels.protowire import varint
-
-    return ld(field, b"".join(varint(int(v)) for v in vals))
 
 
 def _packed_sint_delta(field: int, vals) -> bytes:

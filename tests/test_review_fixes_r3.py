@@ -247,3 +247,151 @@ def test_warc_error_count_surfaces_in_dataframe(spark, tmp_path):
     # a file with zero parseable records still surfaces (as __parse_error__)
     rows = df.filter(F.col("record_type") == "__parse_error__").collect()
     assert any(r.src_file.endswith("allbad.warc.gz") for r in rows)
+
+
+# -------------------------------------------------- raster edge cases
+
+
+def test_focal_mean_zoom1_no_double_count(spark):
+    from grandine_spark.operators.raster import focal_mean
+
+    r = spark.createDataFrame(
+        [(0, 0, 10.0), (1, 0, 30.0)], "tile_x int, tile_y int, n double"
+    )
+    got = {
+        (row.tile_x, row.tile_y): (row.focal_mean, row.n_neighbors)
+        for row in focal_mean(r, zoom=1, radius=1).collect()
+    }
+    # dx=-1 and dx=+1 both wrap to the same ring cell at zoom 1: the
+    # neighbor must contribute ONCE (mean 20), not twice (23.33)
+    assert got[(0, 0)] == (20.0, 2)
+    assert got[(1, 0)] == (20.0, 2)
+
+
+def test_resample_to_polygons_filters_zoom(spark):
+    from grandine_spark.operators.raster import resample_to_polygons
+
+    polys = spark.createDataFrame(
+        [(1, 3, 0.0, 0.0, 40.0, 40.0)],
+        "feature_id long, geom_type int, minx double, miny double, "
+        "maxx double, maxy double",
+    )
+    # same (x, y) at two zoom levels — only the zoom-2 rows may count
+    raster = spark.createDataFrame(
+        [(2, 2, 1, 100), (3, 2, 1, 999)],
+        "tile_z int, tile_x int, tile_y int, n long",
+    )
+    rows = {r.feature_id: r.n_points for r in
+            resample_to_polygons(raster, polys, zoom=2).collect()}
+    assert rows[1] == 100  # the zoom-3 row with colliding x/y is excluded
+
+
+# ---------------------------------------------------------- asof_join
+
+
+def test_asof_join_rejects_colliding_right_cols(spark):
+    import pytest as _pytest
+
+    from grandine_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, ts long, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, ts long, v string")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  right_cols=["v"])
+
+
+# --------------------------------------------------------------- MVT
+
+
+def test_encode_geometry_empty_part_skipped():
+    import numpy as np
+
+    from grandine_spark.kernels.mvt import encode_geometry
+
+    # empty line part: no commands, no crash
+    assert encode_geometry([(2, np.empty((0, 2)))]) == []
+    # normal part still encodes after an empty sibling
+    cmds = encode_geometry(
+        [(2, np.empty((0, 2))), (2, np.array([[0.0, 0.0], [1.0, 1.0]]))]
+    )
+    assert len(cmds) == 6
+
+
+# ------------------------------------------------------------ assemble
+
+
+def test_resolve_way_drops_incomplete_ways(spark):
+    from grandine_spark.operators.assemble import resolve_way_coords
+
+    ways = spark.createDataFrame(
+        [(1, [10, 11, 12], {"a": "1"}), (2, [10, 99], {"a": "2"})],
+        "way_id long, node_ids array<long>, props map<string,string>",
+    )
+    nodes = spark.createDataFrame(
+        [(10, 0.0, 0.0), (11, 1.0, 0.0), (12, 1.0, 1.0)],
+        "node_id long, lon double, lat double",
+    )
+    got = resolve_way_coords(ways, nodes).collect()
+    # way 2 references missing node 99: dropped whole, not spliced shut
+    assert [r.way_id for r in got] == [1]
+    assert [(c["x"], c["y"]) for c in got[0].coords] == [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0)
+    ]
+
+
+def test_multipolygon_skips_unknown_roles(spark):
+    from grandine_spark.operators.assemble import assemble_multipolygons
+
+    # square outer (role outer), square 'subarea' member (must be ignored —
+    # the reference only assembles outer/inner, spatialize.go:310)
+    nodes = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(
+            [(0, 0), (4, 0), (4, 4), (0, 4),   # outer corners 0-3
+             (10, 10), (11, 10), (11, 11), (10, 11)])],  # stray 4-7
+        "node_id long, lon double, lat double",
+    )
+    ways = spark.createDataFrame(
+        [(1, [0, 1, 2, 3, 0], None), (2, [4, 5, 6, 7, 4], None)],
+        "way_id long, node_ids array<long>, props map<string,string>",
+    )
+    rels = spark.createDataFrame(
+        [(100, [1, 2], ["outer", "subarea"], {"type": "multipolygon"})],
+        "rel_id long, way_ids array<long>, roles array<string>, "
+        "props map<string,string>",
+    )
+    feats = assemble_multipolygons(rels, ways, nodes).collect()
+    assert len(feats) == 1
+    # bbox excludes the ignored 'subarea' ring
+    assert (feats[0].maxx, feats[0].maxy) == (4.0, 4.0)
+
+
+# --------------------------------------------------------- spaten read
+
+
+def test_read_spaten_is_distributed(spark, tmp_path, monkeypatch):
+    import pandas as pd
+
+    from grandine_spark.kernels.wkb import to_wkb
+    from grandine_spark.sources import spaten as spaten_codec
+    from grandine_spark.sources.convert import read_any
+
+    feats = [
+        {"geom_type": 1, "wkb": to_wkb(1, (float(i), float(i))),
+         "bbox": (float(i),) * 4, "props": {"id": str(i)}}
+        for i in range(5)
+    ]
+    blob = spaten_codec.file_header() + spaten_codec.encode_block(
+        feats, {"@srid": "4326"}
+    )
+    fp = tmp_path / "in.spaten"
+    fp.write_bytes(blob)
+    # decoding happens executor-side: a driver-side createDataFrame of the
+    # feature list would call spark.createDataFrame — forbid it
+    def boom(*a, **k):
+        raise AssertionError("driver-side createDataFrame in spaten read")
+
+    monkeypatch.setattr(spark, "createDataFrame", boom)
+    df = read_any(spark, str(fp))
+    rows = df.orderBy("minx").collect()
+    assert len(rows) == 5 and rows[0].props["id"] == "0"
