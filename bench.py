@@ -101,19 +101,22 @@ def _cpu_stat_snapshot() -> dict[int, tuple[int, int]]:
     return vals
 
 
-def idle_cpus(n: int, sample_s: float = 1.0) -> list[int]:
+def idle_cpus(n: int, sample_s: float = 1.0, ranked: bool = False) -> list[int]:
     """The n most-idle CPUs right now (per /proc/stat deltas). The host is a
     shared VM where OTHER tenants pin to shifting CPU ranges — a static mask
     measured 22-60% slow when it overlapped a busy range. Sampling just
-    before each run adapts the mask to wherever the quiet CPUs are."""
+    before each run adapts the mask to wherever the quiet CPUs are.
+
+    ``ranked=True`` keeps most-idle-first order (for picking a quietest
+    SUBSET); default returns ids sorted for a taskset mask."""
     a = _cpu_stat_snapshot()
     time.sleep(sample_s)
     b = _cpu_stat_snapshot()
     frac = {
         c: (b[c][0] - a[c][0]) / max(1, b[c][1] - a[c][1]) for c in a if c in b
     }
-    ranked = sorted(frac, key=lambda c: -frac[c])
-    return sorted(ranked[:n])
+    top = sorted(frac, key=lambda c: -frac[c])[:n]
+    return top if ranked else sorted(top)
 
 
 def wait_for_quiet(min_idle: float = 0.85, max_wait_s: float = 300.0) -> bool:
@@ -205,8 +208,13 @@ def run_flagship_subprocess(
         timeout=1800,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    d = json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"flagship subprocess (cores={cores}) emitted no result line "
+            f"(rc={out.returncode}); stderr tail: {out.stderr[-800:]!r}"
+        )
+    d = json.loads(lines[-1])
     return d["elapsed"], d["rows"]
 
 
@@ -654,8 +662,14 @@ def main():
                 # fresh CPU masks per pair (co-tenant load moves): the N-run
                 # uses the quietest-4 SUBSET of the 4N-run's quietest-16, so
                 # both sides share conditions, like executors on one cluster
-                cpus_4n = idle_cpus(SCALING_4N) if _have_taskset() else None
-                cpus_n = sorted(cpus_4n[-SCALING_N:]) if cpus_4n else None
+                ranked16 = (
+                    idle_cpus(SCALING_4N, ranked=True) if _have_taskset() else None
+                )
+                cpus_4n = sorted(ranked16) if ranked16 else None
+                # quietest-N subset BY IDLENESS (the old [-N:] slice took the
+                # highest-NUMBERED ids, which can be the busiest of the 16 —
+                # deflating the small-N baseline and inflating efficiency)
+                cpus_n = sorted(ranked16[:SCALING_N]) if ranked16 else None
                 t_n_pair, rows_n = run_flagship_subprocess(
                     SCALING_N, reps=2, cpu_list=cpus_n
                 )

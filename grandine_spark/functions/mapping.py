@@ -48,6 +48,13 @@ def parse_mapping_yaml(text: str) -> list[MappingRule]:
             values = [str(x) for x in v]
         elif v == "*":
             values = []
+        elif v is None:
+            # reference parity (file.go:59-62): a missing/null src value is
+            # a parse ERROR, not a silent match-the-string-'None' rule
+            raise ValueError(
+                f"source key {src.get('key')} must have a string value "
+                "(use '*' for a wildcard)"
+            )
         else:
             values = [str(v)]
         static: dict[str, str] = {}
@@ -89,23 +96,36 @@ def _coerce_int(v: Column) -> Column:
 
 
 def map_expr(rule: MappingRule, props: Column) -> Column:
-    """Condition.Map: REPLACE props with dest entries (static + $dynamic)."""
+    """Condition.Map: REPLACE props with dest entries (static + $dynamic).
+
+    A dest key declared BOTH static and dynamic resolves like the
+    reference's Go-map write order (file.go:126-131: static first, dynamic
+    overwrites): dynamic value when the source field is present, static
+    fallback otherwise. Resolving at compile time keeps every map_concat
+    key distinct — Spark's default mapKeyDedupPolicy=EXCEPTION would
+    otherwise throw DUPLICATED_MAP_KEY at runtime."""
+    static = dict(rule.static)
     parts = []
-    if rule.static:
-        parts.append(
-            F.create_map(
-                *[x for k, v in sorted(rule.static.items()) for x in (F.lit(k), F.lit(v))]
-            )
-        )
     for dest_key, (src_field, typ) in sorted(rule.dynamic.items()):
         v = props.getItem(src_field)
         if typ == "int":
             v = _coerce_int(v)
-        # absent source field → omit the entry (map_concat skips empty maps)
-        parts.append(
-            F.when(v.isNotNull(), F.create_map(F.lit(dest_key), v)).otherwise(
-                F.create_map().cast("map<string,string>")
+        fallback = static.pop(dest_key, None)
+        if fallback is not None:
+            parts.append(F.create_map(F.lit(dest_key), F.coalesce(v, F.lit(fallback))))
+        else:
+            # absent source field → omit the entry (map_concat skips empty maps)
+            parts.append(
+                F.when(v.isNotNull(), F.create_map(F.lit(dest_key), v)).otherwise(
+                    F.create_map().cast("map<string,string>")
+                )
             )
+    if static:
+        parts.insert(
+            0,
+            F.create_map(
+                *[x for k, v in sorted(static.items()) for x in (F.lit(k), F.lit(v))]
+            ),
         )
     if not parts:
         return F.create_map().cast("map<string,string>")
@@ -168,6 +188,8 @@ def _poly_to_lines(df: DataFrame) -> DataFrame:
 def apply_mapping(features: DataFrame, rules: list[MappingRule]) -> DataFrame:
     """converter write() semantics: union over rules of
     (filter Matches → replace props → geometry op)."""
+    if not rules:
+        raise ValueError("apply_mapping needs at least one rule")
     branches = []
     for rule in rules:
         b = features.filter(matches_expr(rule, F.col("props"))).withColumn(

@@ -149,8 +149,10 @@ def geocode_text(text: Column) -> tuple[Column, Column]:
 def zoom_renderable(props: Column, zoom: int) -> Column:
     """@zoom:min <= z <= @zoom:max with defaults 0/99
     (cmd/tiler/tiler.go:230-248); props is map<string,string>."""
-    zmin = F.coalesce(props.getItem("@zoom:min").cast("double"), F.lit(0.0))
-    zmax = F.coalesce(props.getItem("@zoom:max").cast("double"), F.lit(99.0))
+    # try_cast: a non-numeric user-supplied zoom prop degrades to the
+    # default (reference behavior) instead of throwing under ANSI mode
+    zmin = F.coalesce(props.getItem("@zoom:min").try_cast("double"), F.lit(0.0))
+    zmax = F.coalesce(props.getItem("@zoom:max").try_cast("double"), F.lit(99.0))
     return (F.lit(float(zoom)) >= zmin) & (F.lit(float(zoom)) <= zmax)
 
 

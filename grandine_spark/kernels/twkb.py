@@ -19,16 +19,14 @@ implemented the polygon level.
 
 from __future__ import annotations
 
-from .protowire import read_varint, varint
-
-
-def _zigzag(v: int) -> int:
-    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
-
-
-def _unzigzag(v: int) -> int:
-    # lib/spatial/twkb.go:66-71
-    return v >> 1 if (v & 1) == 0 else -(v >> 1) - 1
+# zigzag semantics match lib/spatial/twkb.go:66-71 — identical to the
+# protobuf wire coding, so the shared kernel helpers apply
+from .protowire import (
+    read_varint,
+    unzigzag as _unzigzag,
+    varint,
+    zigzag64 as _zigzag,
+)
 
 
 class _Reader:

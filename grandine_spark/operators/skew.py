@@ -24,6 +24,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _row_salt(df: DataFrame, keys: list[str], n_salt: int):
+    """Deterministic per-row salt in [0, n_salt).
+
+    Derived from a hash of the row's (hashable) columns, NEVER from
+    monotonically_increasing_id or rand: a nondeterministic expression
+    feeding shuffle partitioning duplicates or loses rows when a map task
+    is recomputed after a fetch failure (the SPARK-23207 class of bugs).
+    Identical rows share a salt — acceptable: they carry the same join
+    result, and a hot key made of literal duplicate rows is the exact-dedup
+    pipeline's problem, not the join's."""
+    hashable = [
+        f.name for f in df.schema.fields if not _contains_map(f.dataType)
+    ] or keys
+    return F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salt))
 
 
 def hot_keys(df: DataFrame, keys: list[str], threshold: int) -> DataFrame:
@@ -48,7 +75,7 @@ def salted_agg(
     ``{"n": (F.count, F.sum, F.lit(1)), "mx": (F.max, F.max, F.col("v"))}``.
     Output equals the unsalted aggregation for any commutative monoid.
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salt)))
+    salted = df.withColumn("_salt", _row_salt(df, keys, n_salt))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[pfn(c).alias(f"_p_{name}") for name, (pfn, _, c) in aggs.items()]
     )
@@ -103,11 +130,7 @@ def salted_cell_join(
     p = big.join(F.broadcast(hot), keys, "left").withColumn(
         "_salt",
         F.when(
-            F.col("_hot").isNotNull(),
-            F.pmod(
-                F.xxhash64(F.monotonically_increasing_id(), *[F.col(k) for k in keys]),
-                F.lit(n_salt),
-            ),
+            F.col("_hot").isNotNull(), _row_salt(big, keys, n_salt)
         ).otherwise(F.lit(0)),
     ).drop("_hot")
     d = dim.join(F.broadcast(hot), keys, "left").withColumn(

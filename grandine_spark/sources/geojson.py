@@ -47,6 +47,15 @@ def _strip_closing(ring):
     return ring
 
 
+def _xy(cc) -> np.ndarray:
+    """Coordinate list → (n, 2) float array, dropping any altitude.
+
+    GeoJSON legally carries [lon, lat, alt] triples; passing them through
+    would make to_wkb write 3 doubles per point under a 2-D point count
+    and every later from_wkb read silently mis-parse the geometry."""
+    return np.asarray(cc, float)[:, :2]
+
+
 def feature_rows_from_geojson(obj: dict) -> list[dict]:
     """FeatureCollection/Feature dict → engine feature rows (Multi* split,
     rings trimmed + winding-fixed)."""
@@ -65,15 +74,15 @@ def feature_rows_from_geojson(obj: dict) -> list[dict]:
         elif gt == "MultiPoint":
             singles += [(1, (float(p[0]), float(p[1]))) for p in cc]
         elif gt == "LineString":
-            singles.append((2, np.asarray(cc, float)))
+            singles.append((2, _xy(cc)))
         elif gt == "MultiLineString":
-            singles += [(2, np.asarray(ln, float)) for ln in cc]
+            singles += [(2, _xy(ln)) for ln in cc]
         elif gt == "Polygon":
-            rings = [np.asarray(_strip_closing(r), float) for r in cc]
+            rings = [_xy(_strip_closing(r)) for r in cc]
             singles.append((3, fix_winding(rings)))
         elif gt == "MultiPolygon":
             for poly in cc:
-                rings = [np.asarray(_strip_closing(r), float) for r in poly]
+                rings = [_xy(_strip_closing(r)) for r in poly]
                 singles.append((3, fix_winding(rings)))
         else:
             continue
@@ -137,8 +146,11 @@ def read_geocsv(
     (lib/csv/codec.go:55-142). Fully Spark-native scan."""
     df = spark.read.csv(path, header=True, sep=delimiter, inferSchema=False)
     cols = df.columns
-    lat = F.col(cols[lat_col]).cast("double")
-    lon = F.col(cols[lon_col]).cast("double")
+    # try_cast, not cast: under Spark 4's default ANSI mode a malformed
+    # numeric cell would throw CAST_INVALID_INPUT and kill the scan — the
+    # isNotNull filter below is the intended skip path
+    lat = F.col(cols[lat_col]).try_cast("double")
+    lon = F.col(cols[lon_col]).try_cast("double")
     props = F.map_from_arrays(
         F.array(*[F.lit(c) for c in cols]),
         F.array(*[F.col(c).cast("string") for c in cols]),

@@ -395,3 +395,112 @@ def test_read_spaten_is_distributed(spark, tmp_path, monkeypatch):
     df = read_any(spark, str(fp))
     rows = df.orderBy("minx").collect()
     assert len(rows) == 5 and rows[0].props["id"] == "0"
+
+
+# ----------------------------------------------------------- mapping
+
+
+def test_mapping_static_plus_dynamic_same_key(spark):
+    from grandine_spark.functions.mapping import MappingRule, map_expr
+
+    rule = MappingRule(
+        "highway", [], static={"class": "major"},
+        dynamic={"class": ("highway", None)},
+    )
+    df = spark.createDataFrame(
+        [({"highway": "motorway"},), ({"other": "x"},)],
+        "props map<string,string>",
+    )
+    got = [r.m for r in df.select(map_expr(rule, F.col("props")).alias("m")).collect()]
+    # dynamic wins when the source field is present (Go map write order);
+    # static fallback otherwise — and NO DUPLICATED_MAP_KEY error
+    assert got[0] == {"class": "motorway"}
+    assert got[1] == {"class": "major"}
+
+
+def test_mapping_null_src_value_is_parse_error():
+    from grandine_spark.functions.mapping import parse_mapping_yaml
+
+    with pytest.raises(ValueError, match="must have a string value"):
+        parse_mapping_yaml("- src: {key: building}\n  dest: []\n")
+
+
+def test_apply_mapping_empty_rules_clear_error(spark):
+    from grandine_spark.functions.mapping import apply_mapping
+
+    df = spark.createDataFrame([({"a": "1"},)], "props map<string,string>")
+    with pytest.raises(ValueError, match="at least one rule"):
+        apply_mapping(df, [])
+
+
+# ------------------------------------------------------------ geojson
+
+
+def test_geojson_3d_coordinates_drop_altitude():
+    from grandine_spark.kernels.wkb import from_wkb
+    from grandine_spark.sources.geojson import feature_rows_from_geojson
+
+    obj = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[1, 2, 0], [3, 4, 9]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0, 5], [4, 0, 5],
+                                           [4, 4, 5], [0, 0, 5]]]}},
+        ],
+    }
+    rows = feature_rows_from_geojson(obj)
+    gt, coords = from_wkb(rows[0]["wkb"])
+    assert gt == 2 and coords.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    gt2, rings = from_wkb(rows[1]["wkb"])
+    assert gt2 == 3 and all(len(p) == 2 for p in rings[0])
+
+
+def test_geocsv_malformed_numeric_cell_skipped(spark, tmp_path):
+    from grandine_spark.sources.geojson import read_geocsv
+
+    fp = tmp_path / "gn.tsv"
+    fp.write_text(
+        "id\tname\ta\tb\tlat\tlon\n"
+        "1\tx\t-\t-\t51.0\t13.7\n"
+        "2\ty\t-\t-\tN/A\t13.8\n"  # malformed: skipped, not a job kill
+    )
+    rows = read_geocsv(spark, str(fp)).collect()
+    assert len(rows) == 1 and rows[0].lat == 51.0
+
+
+def test_zoom_renderable_non_numeric_prop_defaults(spark):
+    from grandine_spark.functions.tile_exprs import zoom_renderable
+
+    df = spark.createDataFrame(
+        [({"@zoom:min": "n/a"},), ({"@zoom:min": "10"},)],
+        "props map<string,string>",
+    )
+    got = [r.ok for r in df.select(
+        zoom_renderable(F.col("props"), 5).alias("ok")).collect()]
+    assert got == [True, False]  # bad value → default 0, not a crash
+
+
+# --------------------------------------------------------------- skew
+
+
+def test_salted_join_plan_is_deterministic(spark):
+    from grandine_spark.operators.skew import salted_agg, salted_cell_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 0)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    joined = salted_cell_join(big, dim, ["k"], threshold=10, n_salt=4)
+    # retry-safe: no nondeterministic expression may feed the shuffle
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically" not in plan
+    assert joined.count() == 51  # equals the unsalted join
+
+    agg = salted_agg(big, ["k"], {"n": (F.count, F.sum, F.lit(1))}, n_salt=4)
+    plan2 = agg._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically" not in plan2
+    assert {(r.k, r.n) for r in agg.collect()} == {(1, 50), (2, 1)}
