@@ -325,8 +325,15 @@ def _ring_border_intersects(ring, bbox, eps: float = 1e-7) -> bool:
     p = np.asarray(ring, np.float64)
     if len(p) < 2:
         return False
+    # rings are canonically OPEN here (the general path strips the duplicate
+    # closing point) — the closing segment intersects the border like any
+    # other, so append it; a ring whose ONLY border crossing is the closing
+    # edge otherwise short-circuits to "fully covers" and emits a full-tile
+    # rectangle
+    if p[0, 0] != p[-1, 0] or p[0, 1] != p[-1, 1]:
+        p = np.vstack([p, p[:1]])
     minx, miny, maxx, maxy = bbox
-    if len(p) <= 24:
+    if len(p) <= 25:
         # small rings (the admin/building norm): scalar loop beats the numpy
         # array setup by ~3x at this size
         borders = None
@@ -420,10 +427,24 @@ def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
     if len(polygon) == 1:
         if not _ring_border_intersects(polygon[0], bbox):
             rminx, rminy, rmaxx, rmaxy = ring_bbox(polygon[0])
-            # bbox fully inside ring's bbox → emit the bbox rectangle
+            # bbox fully inside ring's bbox AND an interior point inside the
+            # ring → emit the bbox rectangle. The interior test decides
+            # between "tile fully covered" and "tile in the notch of a
+            # concave ring that surrounds it without touching it" — with no
+            # edge crossing the tile border, the ring is entirely outside
+            # the tile, so ONE point settles which side the whole tile is
+            # on. The reference (lib/spatial/polygon.go:26-40) skips this
+            # test and emits a full tile for the notch case — a bug we fix
+            # rather than port, like the twkb count-varint writer.
             if rminx <= minx <= rmaxx and rminx <= maxx <= rmaxx and (
                 rminy <= miny <= rmaxy and rminy <= maxy <= rmaxy
             ):
+                if not _pt_in_ring(
+                    (minx + maxx) / 2.0,
+                    (miny + maxy) / 2.0,
+                    [tuple(q) for q in np.asarray(polygon[0], np.float64).tolist()],
+                ):
+                    return []  # tile sits in a concave notch: fully outside
                 rect = np.array(
                     [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]],
                     np.float64,

@@ -194,7 +194,7 @@ def test_clip_polygon_self_intersect_fixture():
     assert len(out) == 2
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=300, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -251,10 +251,55 @@ def test_ring_border_intersects_equals_exact(pts):
     from grandine_spark.kernels.geometry import line_intersections
 
     ring = np.array(pts, float)
+    # the exact oracle must see the ring CLOSED: rings are canonically open
+    # in this kernel, and the closing segment intersects like any other
+    closed = ring if tuple(ring[0]) == tuple(ring[-1]) else np.vstack(
+        [ring, ring[:1]]
+    )
     for bbox in [(-3, -3, 3, 3), (0, 0, 1, 1), (-5, -5, 5, 5)]:
-        exact = bool(line_intersections(ring, _bbox_borders(bbox)))
+        exact = bool(line_intersections(closed, _bbox_borders(bbox)))
         fast = _ring_border_intersects(ring, bbox)
         assert fast == exact, (pts, bbox)
+
+
+def test_clip_polygon_closing_edge_crossing():
+    """Regression: an OPEN ring whose only border crossings are on the
+    closing segment must not short-circuit to 'covers the whole bbox'.
+    Found by the pointwise-equivalence property (hull (6,-3),(2,6),(-3,4)
+    against bbox (-3,-3,3,3): the C->A closing edge is the only crossing,
+    and the clip bbox sits inside the ring's bbox)."""
+    ring = np.array([(6.0, -3.0), (2.0, 6.0), (-3.0, 4.0)])
+    bbox = (-3.0, -3.0, 3.0, 3.0)
+    out = clip_polygon([ring], bbox)
+    assert len(out) == 1 and len(out[0]) == 1
+    got = sorted(tuple(np.round(q, 4)) for q in out[0][0].tolist())
+    want = sorted([(3.0, 3.0), (3.0, -0.6667), (-1.7143, 3.0)])
+    assert got == want
+    # closed-ring input must produce the identical result
+    out2 = clip_polygon([np.vstack([ring, ring[:1]])], bbox)
+    assert [(r.tolist()) for r in out2[0]] == [(r.tolist()) for r in out[0]]
+
+
+def test_clip_polygon_concave_notch_excludes_tile():
+    """Regression: a concave ring that SURROUNDS the tile without touching
+    it (tile in the notch => fully outside the polygon) must clip to
+    nothing, not to the full tile rectangle. The reference's short-circuit
+    (lib/spatial/polygon.go:26-40) has this bug — bbox containment plus
+    no border intersections does not imply coverage for concave rings."""
+    # outer square [-4,4]^2 with slot [-2,2]^2 carved out, opened rightward
+    # through a channel x in [2,4], y in [-0.5,0.5]
+    ring = np.array(
+        [(-4, -4), (4, -4), (4, -0.5), (2, -0.5), (2, -2), (-2, -2),
+         (-2, 2), (2, 2), (2, 0.5), (4, 0.5), (4, 4), (-4, 4)], float
+    )
+    assert clip_polygon([ring], (-1.0, -1.0, 1.0, 1.0)) == []
+    # ...but a tile inside the SOLID part of the same ring still gets the
+    # full-rectangle fast path
+    out = clip_polygon([ring], (-3.5, -3.5, -2.5, -2.5))
+    assert len(out) == 1
+    assert sorted(map(tuple, out[0][0].tolist())) == sorted(
+        [(-3.5, -3.5), (-2.5, -3.5), (-2.5, -2.5), (-3.5, -2.5)]
+    )
 
 
 @settings(max_examples=120, deadline=None)
