@@ -232,3 +232,111 @@ def test_incremental_tiles_delta_byte_identical(spark):
     empty = removed.limit(0)
     same = incremental_tiles_delta(old_tiles, old, empty, empty, zooms)
     assert _tmap(same) == _tmap(old_tiles)
+
+
+def test_tile_pixels_lie_inside_source_polygon(spark):
+    """End-to-end tile SEMANTICS, independent of the clip kernel: every
+    eroded-interior pixel of every polygon a tile emits must map back
+    (pixel -> mercator -> lon/lat) to a point inside the SOURCE polygon,
+    within a quantization tolerance. The encoder-inverse round-trips can't
+    catch wrong coverage (e.g. the full-tile-rectangle short-circuit bugs
+    fixed in kernels/clip.py) because encode and check share the clip; this
+    invariant only shares the projection."""
+    import math
+
+    from grandine_spark.kernels.clip import _pt_in_ring
+    from grandine_spark.kernels.geometry import (
+        dist_points_to_line_np,
+        point_in_polygon,
+    )
+    from grandine_spark.kernels.mvt import decode_tile
+    from grandine_spark.kernels.tilemath import tile_bbox
+    from grandine_spark.kernels.wkb import geom_bbox, to_wkb
+    from grandine_spark.sources.synth import FEATURE_SCHEMA
+
+    EARTH_R = 6378137.0
+
+    def merc(lon, lat):
+        return (
+            math.radians(lon) * EARTH_R,
+            math.log(math.tan(math.radians(lat) / 2.0 + math.pi / 4.0)) * EARTH_R,
+        )
+
+    def unmerc(mx, my):
+        return (
+            math.degrees(mx / EARTH_R),
+            math.degrees(2.0 * math.atan(math.exp(my / EARTH_R)) - math.pi / 2.0),
+        )
+
+    # C-shape that surrounds whole z4/z5 tiles without touching them (the
+    # notch regression, here at pipeline level) + a convex triangle
+    c_ring = [
+        (-40, -40), (40, -40), (40, -5), (20, -5), (20, -20), (-20, -20),
+        (-20, 20), (20, 20), (20, 5), (40, 5), (40, 40), (-40, 40),
+    ]
+    tri_ring = [(50.0, -30.0), (80.0, 35.0), (44.0, 20.0)]
+    rows = []
+    for fid, (name, ring) in enumerate([("cshape", c_ring), ("tri", tri_ring)]):
+        rings = [np.array(ring, float)]
+        bb = geom_bbox(3, rings)
+        rows.append(
+            (fid, "area", 3, bytearray(to_wkb(3, rings)), *bb, None, None,
+             {"name": name})
+        )
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    # the tiler projects VERTICES to mercator and draws straight pixel
+    # lines, so edges are straight in MERCATOR space, not lon/lat — the
+    # oracle PIP must run in the same space
+    source = {
+        name: [np.array([merc(x, y) for x, y in ring], float)]
+        for name, ring in [("cshape", c_ring), ("tri", tri_ring)]
+    }
+
+    tiles = build_tiles(feats, [4, 5]).collect()
+    assert tiles, "no tiles produced"
+    checked = 0
+    for t in tiles:
+        decoded = decode_tile(bytes(t.tile))
+        minx, miny, maxx, maxy = tile_bbox(t.tile_x, t.tile_y, t.tile_z)
+        swx, swy = merc(minx, miny)
+        nex, ney = merc(maxx, maxy)
+        for layer in decoded.values():
+            ext = float(layer["extent"])
+            tol_m = (nex - swx) / ext * 24.0  # ~24 px of slack, meters
+            for ft in layer["features"]:
+                if ft["geom_type"] != 3:
+                    continue
+                name = ft["props"].get("name")
+                assert name in source, ft["props"]
+                rings = [[tuple(p) for p in np.asarray(r, float)]
+                         for r in ft["coords"]]
+                for gx in range(256, 4096, 512):
+                    for gy in range(256, 4096, 512):
+                        # eroded-interior: the point and a +-16 px cross all
+                        # inside (even-odd over all rings) -> clear of
+                        # quantization/boundary effects
+                        probe = [(gx, gy), (gx - 16, gy), (gx + 16, gy),
+                                 (gx, gy - 16), (gx, gy + 16)]
+                        if not all(
+                            sum(_pt_in_ring(px, py, r) for r in rings) % 2 == 1
+                            for px, py in probe
+                        ):
+                            continue
+                        # pixel -> lon/lat (inverse of tile_point_np; the
+                        # trunc'd y-flip is within the erosion slack)
+                        mx = swx + gx / ext * (nex - swx)
+                        my = swy + (ext - gy) / ext * (ney - swy)
+                        ok = point_in_polygon(mx, my, source[name])
+                        if not ok:
+                            d = min(
+                                float(dist_points_to_line_np(
+                                    np.array([mx]), np.array([my]),
+                                    np.vstack([r, r[:1]]),
+                                )[0])
+                                for r in source[name]
+                            )
+                            ok = d <= tol_m
+                        assert ok, (t.tile_z, t.tile_x, t.tile_y, name,
+                                    unmerc(mx, my))
+                        checked += 1
+    assert checked > 50, f"too few interior pixels sampled ({checked})"
