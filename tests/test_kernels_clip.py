@@ -1,7 +1,7 @@
 """Clipping goldens ported from /root/reference/lib/spatial/{line,polygon,clip_golang}_test.go."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from grandine_spark.kernels.clip import (
@@ -87,7 +87,7 @@ def test_clip_geom_dispatch():
     assert len(out) == 1 and out[0][0] == 2
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.tuples(
@@ -194,7 +194,7 @@ def test_clip_polygon_self_intersect_fixture():
     assert len(out) == 2
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.tuples(
@@ -233,7 +233,7 @@ def test_clip_polygon_pointwise_equivalence_convex(pts):
             assert got == want, (px, py, hull)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.tuples(
@@ -302,7 +302,7 @@ def test_clip_polygon_concave_notch_excludes_tile():
     )
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.floats(-6, 0, allow_nan=False, width=32),
     st.floats(-6, 0, allow_nan=False, width=32),
