@@ -373,3 +373,56 @@ def test_large_ring_border_intersects_vectorized_branch():
     out2 = clip_polygon([big], bbox)
     assert len(out2) == 1
     assert abs(abs(ring_area2(out2[0][0])) / 2.0 - 4.0) < 1e-9
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-8, 8, allow_nan=False, width=16),
+            st.floats(-8, 8, allow_nan=False, width=16),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_clip_line_two_sided(pts):
+    """Two-sided line-clip property. The output-within-bbox property alone
+    cannot catch a clip that silently DROPS segments (under-coverage) or
+    INVENTS geometry off the input line (infidelity):
+    (1) completeness — every sampled input point strictly inside the bbox
+        lies on some output polyline;
+    (2) faithfulness — every output vertex lies on the input polyline
+        (within the kernel's 8-decimal intersection rounding)."""
+    from grandine_spark.kernels.geometry import dist_points_to_line_np
+
+    bbox = (-3.0, -3.0, 3.0, 3.0)
+    line = np.array(pts, float)
+    outs = clip_line(line, bbox)
+    # (1) completeness: sample interior of each input segment
+    er = 1e-6  # erosion: skip points within er of the border
+    for i in range(len(pts) - 1):
+        (x1, y1), (x2, y2) = pts[i], pts[i + 1]
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+            px, py = x1 + t * (x2 - x1), y1 + t * (y2 - y1)
+            if not (
+                bbox[0] + er < px < bbox[2] - er
+                and bbox[1] + er < py < bbox[3] - er
+            ):
+                continue
+            d = min(
+                (
+                    float(dist_points_to_line_np(
+                        np.array([px]), np.array([py]), o
+                    )[0])
+                    for o in outs
+                    if len(o) >= 2
+                ),
+                default=float("inf"),
+            )
+            assert d <= 1e-6, (px, py, d, pts)
+    # (2) faithfulness: every output vertex is on the input line
+    if len(line) >= 2:
+        for o in outs:
+            d = dist_points_to_line_np(o[:, 0], o[:, 1], line)
+            assert (d <= 1e-7).all(), (o.tolist(), pts)
