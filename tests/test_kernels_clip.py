@@ -426,3 +426,76 @@ def test_clip_line_two_sided(pts):
         for o in outs:
             d = dist_points_to_line_np(o[:, 0], o[:, 1], line)
             assert (d <= 1e-7).all(), (o.tolist(), pts)
+
+
+def test_clip_polygon_pointwise_concave_with_holes():
+    """Pointwise equivalence for CONCAVE star polygons, 40% with a hole —
+    the convex property can't reach the parity-stitch engine's hard cases
+    (notches, multi-result splits, hole survival). Seeded port of the 4000-
+    polygon differ that validated the r3-late clip fixes; grid points within
+    1e-6 of any edge are skipped (8-dp rounding slack)."""
+    import math
+    import random
+
+    from grandine_spark.kernels.clip import _pt_in_ring
+    from grandine_spark.kernels.geometry import dist_points_to_line_np
+
+    rng = random.Random(20260819)
+    BBOX = (-3.0, -3.0, 3.0, 3.0)
+
+    def star(cx, cy, n, rmin, rmax):
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+        if len(set(angs)) < n:
+            return None
+        return np.array(
+            [(cx + math.cos(a) * rng.uniform(rmin, rmax),
+              cy + math.sin(a) * rng.uniform(rmin, rmax)) for a in angs],
+            float,
+        )
+
+    def evenodd(px, py, rings):
+        return sum(
+            _pt_in_ring(px, py, [tuple(q) for q in np.asarray(r).tolist()])
+            for r in rings
+        ) % 2 == 1
+
+    def neardist(px, py, rings):
+        return min(
+            float(dist_points_to_line_np(
+                np.array([px]), np.array([py]),
+                np.vstack([np.asarray(r, float), np.asarray(r, float)[:1]]),
+            )[0])
+            for r in rings
+        )
+
+    borders = [np.array(
+        [[BBOX[0], BBOX[1]], [BBOX[2], BBOX[1]], [BBOX[2], BBOX[3]],
+         [BBOX[0], BBOX[3]]], float)]
+    checked = 0
+    for _ in range(60):
+        cx, cy = rng.uniform(-2, 2), rng.uniform(-2, 2)
+        shell = star(cx, cy, rng.randint(5, 20), 0.5, rng.uniform(1.0, 6.0))
+        if shell is None:
+            continue
+        polygon = [shell]
+        if rng.random() < 0.4:
+            rmin_shell = min(math.hypot(x - cx, y - cy) for x, y in shell)
+            hole = star(cx, cy, rng.randint(4, 8),
+                        0.1 * rmin_shell, 0.4 * rmin_shell)
+            if hole is not None:
+                polygon.append(hole)
+        out = clip_polygon([r.copy() for r in polygon], BBOX)
+        out_rings = [r for p in out for r in p]
+        for gx in range(-6, 7, 2):
+            for gy in range(-6, 7, 2):
+                px, py = gx + 0.1234567, gy + 0.7654321
+                if (neardist(px, py, polygon) < 1e-6
+                        or neardist(px, py, borders) < 1e-6):
+                    continue
+                want = evenodd(px, py, polygon) and (
+                    BBOX[0] < px < BBOX[2] and BBOX[1] < py < BBOX[3]
+                )
+                got = evenodd(px, py, out_rings) if out_rings else False
+                assert got == want, (px, py, shell.tolist())
+                checked += 1
+    assert checked > 1000
