@@ -265,3 +265,97 @@ def test_simplify_rdp():
     # short line passthrough
     line3 = np.array([[0, 0], [1, 1]], float)
     assert simplify_rdp(line3, 10).tolist() == [[0, 0], [1, 1]]
+
+
+def test_merge_features_preserves_segments_seeded():
+    """Invariant differ (seeded): merging stitches lines within equal-props
+    buckets but must preserve the per-bucket multiset of undirected
+    segments, and pass non-line geometries through untouched."""
+    import random
+
+    rng = random.Random(7)
+
+    def segs_of(features):
+        out = {}
+        for ft in features:
+            if ft["geom_type"] != 2:
+                continue
+            key = tuple(sorted(ft["props"].items()))
+            c = np.asarray(ft["coords"], float)
+            for i in range(len(c) - 1):
+                a, b = tuple(c[i]), tuple(c[i + 1])
+                s = (a, b) if a <= b else (b, a)
+                out.setdefault(key, {}).setdefault(s, 0)
+                out[key][s] += 1
+        return out
+
+    for _ in range(400):
+        n = rng.randint(4, 12)
+        path = [(round(rng.uniform(-5, 5), 2), round(rng.uniform(-5, 5), 2))
+                for _ in range(n)]
+        cuts = sorted(rng.sample(range(1, n - 1),
+                                 k=rng.randint(0, min(3, n - 2))))
+        pieces, lo = [], 0
+        for c in cuts:
+            pieces.append(path[lo:c + 1])
+            lo = c
+        pieces.append(path[lo:])
+        feats = [
+            {"geom_type": 2, "coords": np.array(p, float),
+             "props": {"k": rng.choice(["a", "b"])}}
+            for p in pieces if len(p) >= 2
+        ]
+        feats.append({"geom_type": 1, "coords": (0.0, 0.0), "props": {"k": "a"}})
+        rng.shuffle(feats)
+        out = merge_features(list(feats))
+        assert segs_of(feats) == segs_of(out)
+        assert sum(f["geom_type"] == 1 for f in feats) == sum(
+            f["geom_type"] == 1 for f in out
+        )
+
+
+def test_fix_winding_odd_nesting_seeded():
+    """Invariant differ (seeded): random nested square rings (shuffled hole
+    order, random input orientations) — ring 0 ends clockwise, every other
+    ring's orientation satisfies the odd-nesting rule, point sets unchanged.
+    The containment oracle samples a VERTEX (like the kernel): a centroid
+    sample is wrong for an outer ring whose center falls inside its own
+    descendants."""
+    import random
+
+    rng = random.Random(11)
+
+    def square(cx, cy, r, cw):
+        sq = np.array(
+            [(cx - r, cy - r), (cx - r, cy + r), (cx + r, cy + r),
+             (cx + r, cy - r)], float)
+        return sq if cw == is_clockwise(sq) else sq[::-1].copy()
+
+    def contains(outer, px, py):
+        minx, miny = outer.min(axis=0)
+        maxx, maxy = outer.max(axis=0)
+        return minx < px < maxx and miny < py < maxy
+
+    for _ in range(500):
+        depth = rng.randint(1, 5)
+        rings, r, cx, cy = [], 16.0, 0.0, 0.0
+        for _d in range(depth):
+            rings.append(square(cx, cy, r, rng.random() < 0.5))
+            r *= rng.uniform(0.3, 0.6)
+            cx += rng.uniform(-r * 0.3, r * 0.3)
+            cy += rng.uniform(-r * 0.3, r * 0.3)
+        tail = rings[1:]
+        rng.shuffle(tail)
+        rings = rings[:1] + tail
+        out = fix_winding([q.copy() for q in rings])
+        assert len(out) == len(rings) and is_clockwise(out[0])
+        for a, b in zip(rings, out):
+            assert sorted(map(tuple, a.tolist())) == sorted(
+                map(tuple, b.tolist()))
+        for n in range(1, len(out)):
+            px, py = float(out[n][0, 0]), float(out[n][0, 1])
+            inr = sum(
+                1 for m in range(len(out))
+                if m != n and contains(out[m], px, py)
+            )
+            assert (not is_clockwise(out[n])) == (inr % 2 == 1)
