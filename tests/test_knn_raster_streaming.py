@@ -312,3 +312,57 @@ def test_stream_spatial_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_sjoin").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_knn_polar_and_dateline_matches_bruteforce(spark):
+    """Seeded differ for the pruning-bound edge cases: points clustered in a
+    polar band and straddling the antimeridian, queries world-scattered —
+    the shapes where a wrong candidate-cell bound (antipodal longitude wrap,
+    polar cell aspect) silently drops true neighbors. Port of a 6-trial
+    randomized differ that came back clean."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260819)
+    lons = np.concatenate([
+        rng.uniform(170, 180, 150), rng.uniform(-180, -170, 150),
+        rng.uniform(-180, 180, 200),
+    ])
+    lats = np.concatenate([
+        rng.uniform(-60, 60, 300), rng.uniform(75, 85, 200),
+    ])
+    pts = spark.createDataFrame(
+        [(f"p{i}", float(lons[i]), float(lats[i])) for i in range(len(lons))],
+        "url string, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(i, float(q[0]), float(q[1])) for i, q in enumerate(
+            [(-179.9, 55.0), (179.9, -55.0), (0.0, 84.0), (12.0, -3.0),
+             (100.0, 80.0), (-90.0, 0.0)])],
+        "q_id int, lon double, lat double",
+    )
+    got = {
+        (r.q_id, r.rank): r.url
+        for r in knn(pts, queries, k=5, zoom=5).collect()
+    }
+    bf = (
+        queries.crossJoin(
+            pts.select(
+                F.col("url"), F.col("lon").alias("plon"),
+                F.col("lat").alias("plat"),
+            )
+        ).select(
+            "q_id", "url",
+            TX.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("plon"), F.col("plat")
+            ).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("url").asc())
+    exp = {
+        (r.q_id, r.rank): r.url
+        for r in bf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5).collect()
+    }
+    assert got == exp
