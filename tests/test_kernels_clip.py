@@ -499,3 +499,29 @@ def test_clip_polygon_pointwise_concave_with_holes():
                 assert got == want, (px, py, shell.tolist())
                 checked += 1
     assert checked > 1000
+
+
+def test_pt_in_ring_np_matches_scalar():
+    """Seeded differ: the vectorized single-point ray-cast used by the
+    notch guard must agree with the scalar _pt_in_ring on random rings
+    (open AND closed forms) and random probe points."""
+    import random
+
+    import numpy as np
+
+    from grandine_spark.kernels.clip import _pt_in_ring, _pt_in_ring_np
+
+    rng = random.Random(20260819)
+    checked = 0
+    for _ in range(200):
+        n = rng.randint(3, 24)
+        ring = [(rng.uniform(-5, 5), rng.uniform(-5, 5)) for _ in range(n)]
+        closed = ring + [ring[0]] if rng.random() < 0.5 else ring
+        arr = np.asarray(closed, np.float64)
+        for _ in range(10):
+            px, py = rng.uniform(-6, 6), rng.uniform(-6, 6)
+            assert _pt_in_ring_np(px, py, arr) == _pt_in_ring(px, py, closed), (
+                px, py, closed,
+            )
+            checked += 1
+    assert checked == 2000
