@@ -391,10 +391,14 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT Jaccard variant: max_shingle_freq=None is now an explicit
+    opt-in (the operator defaults to a df-cap of 256 — the scale-safe
+    config); this query certifies the uncapped math against the exact SQL
+    oracle on a corpus small enough that exact is sound."""
     from grandine_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), shingle_k=3, threshold=0.8
+        _docs(spark, sf_dir), shingle_k=3, threshold=0.8, max_shingle_freq=None
     ).select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -405,6 +409,24 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(embs, threshold=0.4, method="exact").select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
     )
+
+
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed LSH near-dup path under the oracle — certifying the
+    SCALE plan, not just the exact all-pairs variant: candidate pairs come
+    from the deterministic random-hyperplane bucket join (never a cross
+    product), then the exact cosine filter. The oracle SQL recomputes the
+    IDENTICAL buckets (the hyperplanes are deterministic 6-dp constants,
+    inlined into the SQL from the same generator), so the bucketing math,
+    the bucket-equi join, and the cosine threshold are all under the
+    value-hash check — a strictly stronger certification than picking a
+    config whose recall happens to be 1."""
+    from grandine_spark.operators.similarity import embedding_near_dup_pairs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(
+        embs, threshold=0.4, method="lsh", dim=64, n_tables=8, bits=4
+    ).select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1823,6 +1845,48 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
 """
 
 
+def _oracle_embed_near_dup_lsh(
+    n_tables: int = 8, bits: int = 4, threshold: float = 0.4
+) -> str:
+    """DuckDB twin of embedding_near_dup_pairs(method='lsh'): the SAME
+    deterministic hyperplanes (similarity._hyperplanes, 6-dp, inlined as
+    exact repr literals), the same ``(t << bits) | sig`` bucket keys, the
+    same bucket-equi candidate join and cosine filter — so the oracle
+    checks the bucketed scale path itself, not an exact stand-in."""
+    from grandine_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(64, bits, 42 + 1000 * t)
+        for b in range(bits):
+            lit = ", ".join(repr(float(v)) for v in planes[b])
+            rows.append(f"({t}, {b}, [{lit}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH planes(tbl, bit, plane) AS (VALUES
+    {values}),
+sig AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+                  THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS s
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl),
+bkt AS (SELECT vec_id, tbl * {1 << bits} + s AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+p AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+          * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+           AS cosine
+  FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+            JOIN embeddings eb ON id_b = eb.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= {threshold}
+"""
+
+
 def _oracle_media_meta() -> str:
     return """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -2515,57 +2579,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver writes CORRECTNESS rows for the FIRST 50
+    # entries. Round 4 rotates the window so every oracle-capable query gets
+    # a driver-certified row at least once across rounds: positions 1-18 are
+    # the round-3 additions that had never had a driver row, 19-20 keep the
+    # streaming queries continuously certified (green r1/r2), 21 is the new
+    # LSH-path certification, and the rest of the window holds the queries
+    # touched this round or scale-critical enough to re-certify. The tail
+    # (51+) is long-certified (green in r1-r3) and regression-protected by
+    # tests/test_entry_oracles.py, which checks ALL entries, not just 50.
     return {
-        "tile_index": q_tile_index,
-        "cell_counts": q_cell_counts,
-        "cell_downsample": q_cell_downsample,
-        "tiles_meta": q_tiles_meta,
-        "changed_cells": q_changed_cells,
-        "coverage": q_coverage,
-        "rasterize_areas": q_rasterize_areas,
-        "spatial_join": q_spatial_join,
-        "spatial_join_multires": q_spatial_join_multires,
-        "radius_join": q_radius_join,
-        "knn": q_knn,
-        "raster_to_vector": q_raster_to_vector,
-        "html_extract": q_html_extract,
-        "warc_roundtrip": q_warc_roundtrip,
-        "dedup_exact": q_dedup_exact,
-        "dedup_pairs": q_dedup_pairs,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_capped": q_minhash_capped,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embed_near_dup": q_embed_near_dup,
-        "lang_quality": q_lang_quality,
-        "token_stats": q_token_stats,
-        "fingerprint": q_fingerprint,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
-        "media_meta": q_media_meta,
-        "media_frames": q_media_frames,
-        "tag_mapping": q_tag_mapping,
-        "spaten_roundtrip": q_spaten_roundtrip,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "way_assembly": q_way_assembly,
-        "pbf_way_assembly": q_pbf_way_assembly,
-        "multipolygon_assembly": q_multipolygon_assembly,
-        "event_windows": q_event_windows,
-        "sessions": q_sessions,
-        "pricing_summary": q_pricing_summary,
-        "top_segments": q_top_segments,
-        "connected_components": q_connected_components,
-        "geohash": q_geohash,
-        "s2_cells": q_s2_cells,
-        "quadkey": q_quadkey,
-        "pagerank": q_pagerank,
-        "url_normalize": q_url_normalize,
-        "decontaminate": q_decontaminate,
-        "repetition": q_repetition,
-        "tfidf": q_tfidf,
-        "image_stats": q_image_stats,
-        "audio_stats": q_audio_stats,
         "thumbnail_stats": q_thumbnail_stats,
         "gif_stats": q_gif_stats,
         "video_frames": q_video_frames,
@@ -2586,6 +2609,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "embed_near_dup": q_embed_near_dup,
+        "minhash_lsh": q_minhash_lsh,
+        "minhash_capped": q_minhash_capped,
+        "simhash": q_simhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_pairs": q_dedup_pairs,
+        "spatial_join": q_spatial_join,
+        "spatial_join_multires": q_spatial_join_multires,
+        "radius_join": q_radius_join,
+        "knn": q_knn,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "connected_components": q_connected_components,
+        "sessions": q_sessions,
+        "event_windows": q_event_windows,
+        "tiles_meta": q_tiles_meta,
+        "coverage": q_coverage,
+        "rasterize_areas": q_rasterize_areas,
+        "raster_to_vector": q_raster_to_vector,
+        "cell_counts": q_cell_counts,
+        "cell_downsample": q_cell_downsample,
+        "changed_cells": q_changed_cells,
+        "tile_index": q_tile_index,
+        "multipolygon_assembly": q_multipolygon_assembly,
+        "tag_mapping": q_tag_mapping,
+        "pagerank": q_pagerank,
+        "tfidf": q_tfidf,
+        # --- past the driver's 50-row window: all green in r1-r3 ---
+        "spaten_roundtrip": q_spaten_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "way_assembly": q_way_assembly,
+        "pbf_way_assembly": q_pbf_way_assembly,
+        "html_extract": q_html_extract,
+        "warc_roundtrip": q_warc_roundtrip,
+        "lang_quality": q_lang_quality,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "url_normalize": q_url_normalize,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
+        "image_stats": q_image_stats,
+        "audio_stats": q_audio_stats,
+        "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
+        "geohash": q_geohash,
+        "s2_cells": q_s2_cells,
+        "quadkey": q_quadkey,
+        "pricing_summary": q_pricing_summary,
+        "top_segments": q_top_segments,
         "tiles": q_tiles,
     }
 
@@ -2617,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "embed_near_dup": _oracle_embed_near_dup(),
+        "embed_near_dup_lsh": _oracle_embed_near_dup_lsh(),
         "stream_dedup": (
             "SELECT doc_id % 100 AS dup_key, MIN(doc_id) AS keeper_id "
             "FROM documents GROUP BY dup_key"

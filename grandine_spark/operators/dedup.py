@@ -139,7 +139,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over shingle sets: pairs with
     J(a,b) >= threshold. Shuffle is on exploded distinct shingles; the
@@ -147,10 +147,15 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq``: skew guard for web-scale corpora — a shingle shared
     by f documents contributes O(f²) join rows, so one piece of boilerplate
-    in 10^6 docs is a 10^12-row blowup. Setting a cap drops shingles whose
+    in 10^6 docs is a 10^12-row blowup. The cap drops shingles whose
     document frequency exceeds it BEFORE the self-join (the standard df-cap:
     sizes and intersections are then both computed on the capped shingle
-    universe, so J stays a true Jaccard of that universe). None = exact."""
+    universe, so J stays a true Jaccard of that universe). The cap is ON by
+    default (256: one dropped shingle costs at most 256²≈65k join rows, and
+    a shingle in >256 docs is boilerplate by any definition — it carries no
+    near-dup signal). ``None`` is the explicit exact-variant opt-in and is
+    safe only when the corpus is known boilerplate-free; mirrors how
+    :func:`minhash_lsh_pairs` treats ``max_bucket``."""
     sh = (
         df.select(
             F.col(id_col), F.explode(TXT.word_shingles(F.col(text_col), shingle_k)).alias("sh")

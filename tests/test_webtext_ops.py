@@ -282,8 +282,11 @@ def test_ngram_jaccard_shingle_cap_drops_boilerplate(spark):
     boiler = "all rights reserved worldwide"
     rows = [(i, f"unique words {i} xx{i} yy{i} " + boiler) for i in range(20)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    # uncapped: the 4 boilerplate tokens yield shared shingles -> pairs exist
-    uncapped = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.1).count()
+    # uncapped (explicit None — the cap is now on by default): the 4
+    # boilerplate tokens yield shared shingles -> pairs exist
+    uncapped = ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.1, max_shingle_freq=None
+    ).count()
     assert uncapped > 0
     # capped at freq 5: shingles in all 20 docs are dropped; the remaining
     # shingles are doc-unique, so no pair survives
@@ -291,6 +294,20 @@ def test_ngram_jaccard_shingle_cap_drops_boilerplate(spark):
         docs, shingle_k=3, threshold=0.1, max_shingle_freq=5
     ).count()
     assert capped == 0
+
+
+def test_ngram_jaccard_default_cap_survives_boilerplate(spark):
+    """The DEFAULT config must survive a synthetic boilerplate corpus: 300
+    docs all sharing one phrase (shingle df=300 > the default cap of 256).
+    With the old None default this self-join produced ~300²/2 ≈ 45k
+    intermediate rows from the boilerplate shingles alone; the default cap
+    drops them before the join, leaving only doc-unique shingles → 0 pairs."""
+    from grandine_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [(i, f"unique words {i} xx{i} yy{i} " + boiler) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.1).count() == 0
 
 
 def test_cap_buckets_anti_join_exact(spark):
