@@ -304,3 +304,31 @@ def test_incremental_tiles_prefilter_pushed_to_scan(spark, tmp_path):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     # at least one feature scan carries the bbox bounds pushed down
     assert any("minx" in l and "maxx" in l for l in pushed), plan
+
+
+def test_embed_near_dup_lsh_plan_is_bucket_join(spark, tmp_path):
+    """The certified embed_near_dup_lsh query (the r4 driver-window entry)
+    must execute as a bucket-equi join over exploded LSH table keys —
+    never a cross product / broadcast nested loop — with Arrow kernels for
+    the signature and cosine stages (no interpreted HOF trees)."""
+    from grandine_spark.operators.similarity import embedding_near_dup_pairs
+
+    p = str(tmp_path / "embs")
+    spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(64)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(p)
+    embs = spark.read.parquet(p)
+    plan = plan_of(
+        embedding_near_dup_pairs(
+            embs, threshold=0.4, method="lsh", dim=64, n_tables=8, bits=4
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "aggregate(" not in plan  # no CodegenFallback HOF scoring
+    # an equi-join on the exploded bucket key actually appears
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "bucket" in plan
+    # signature stage (x2 sides) + cosine stage are Arrow-batched Python
+    assert len(re.findall(r"ArrowEvalPython", plan)) >= 3
