@@ -317,3 +317,88 @@ def test_native_pip_refine_equals_arrow(spark, pages_df, features_df):
     plan = buf.getvalue()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert not re.findall(r"\bExchange \(\d+\)", plan)  # still zero shuffles
+
+
+def test_radius_join_polar_dateline_differ(spark):
+    """Seeded adversarial differ for radius_join (the r3 differ layer covered
+    clip/merge/winding/kNN; this closes the gap): random polylines hugging
+    the antimeridian and a polar band, probe points scattered in shells AT
+    and NEAR the radius boundary — the shapes where a wrong expanded-bbox
+    cell cover or a bad clamped-projection would silently drop or invent
+    pairs. Brute force is the scalar reference kernel (_dist_seg_pt) over
+    every (point, segment) pair; both the broadcast and the distributed
+    fallback paths must match it exactly."""
+    import numpy as np
+
+    from grandine_spark.kernels.geometry import _dist_seg_pt
+    from grandine_spark.kernels.wkb import geom_bbox, to_wkb
+    from grandine_spark.operators.spatial_join import radius_join
+    from grandine_spark.sources.synth import FEATURE_SCHEMA
+
+    rng = np.random.default_rng(20260819)
+    R = 0.8
+    lines, feat_rows = {}, []
+    for fid in range(30):
+        if fid % 3 == 0:  # dateline hugger (both signs of lon)
+            x0 = 179.6 if fid % 2 else -179.98
+            xs = x0 + rng.uniform(-0.35, 0.35, 4).cumsum()
+            ys = rng.uniform(-70, 70) + rng.uniform(-1, 1, 4).cumsum()
+        elif fid % 3 == 1:  # polar band (extreme cell aspect)
+            xs = rng.uniform(-180, 180) + rng.uniform(-2, 2, 4).cumsum()
+            ys = 84.0 + rng.uniform(-0.4, 0.4, 4).cumsum()
+        else:  # mid-latitude control
+            xs = rng.uniform(-170, 170) + rng.uniform(-1, 1, 4).cumsum()
+            ys = rng.uniform(-60, 60) + rng.uniform(-1, 1, 4).cumsum()
+        coords = np.clip(
+            np.column_stack([xs, ys]), [-180.0, -85.0], [180.0, 85.0]
+        )
+        lines[fid] = coords
+        minx, miny, maxx, maxy = geom_bbox(2, coords)
+        feat_rows.append(
+            (fid, "roads", 2, bytearray(to_wkb(2, coords)),
+             float(minx), float(miny), float(maxx), float(maxy), None, None, {})
+        )
+    feats = spark.createDataFrame(feat_rows, FEATURE_SCHEMA)
+
+    # probe points: shells at ~0.5R, ~R (boundary), ~1.5R around random
+    # vertices, plus world-scattered background
+    pt_rows = []
+    i = 0
+    for fid, coords in lines.items():
+        for mult in (0.5, 0.999, 1.0, 1.001, 1.5):
+            v = coords[int(rng.integers(len(coords)))]
+            ang = rng.uniform(0, 2 * np.pi)
+            px = float(np.clip(v[0] + mult * R * np.cos(ang), -180, 180))
+            py = float(np.clip(v[1] + mult * R * np.sin(ang), -85, 85))
+            pt_rows.append((f"p{i}", px, py)); i += 1
+    for _ in range(200):
+        pt_rows.append(
+            (f"p{i}", float(rng.uniform(-180, 180)), float(rng.uniform(-85, 85)))
+        ); i += 1
+    pts = spark.createDataFrame(pt_rows, "url string, lon double, lat double")
+
+    want = set()
+    for url, px, py in pt_rows:
+        for fid, coords in lines.items():
+            d = min(
+                _dist_seg_pt(
+                    coords[j][0], coords[j][1],
+                    coords[j + 1][0], coords[j + 1][1], px, py,
+                )
+                for j in range(len(coords) - 1)
+            )
+            if d <= R:
+                want.add((url, fid))
+
+    got_bcast = {
+        (r.url, r.feature_id)
+        for r in radius_join(pts, feats, radius_deg=R, zoom=5).collect()
+    }
+    got_dist = {
+        (r.url, r.feature_id)
+        for r in radius_join(
+            pts, feats, radius_deg=R, zoom=5, max_dim_features=2
+        ).collect()
+    }
+    assert got_bcast == want and len(want) > 0
+    assert got_dist == want
