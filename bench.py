@@ -626,6 +626,35 @@ def main():
             ).count()
         )
         sf1["tiles_per_sec"] = round(sf1["n_tiles"] / sf1["tiles_sec"], 1)
+
+        # sf1 incremental-vs-full at a ~400k-tile standing table (4x the
+        # sf0.1 incremental corpus, z13): the daily-update claim — cost
+        # tracks the DELTA, not the corpus — evidenced at ≥60k-tile scale
+        inc1_path = "/tmp/gs_bench_feats_inc_sf1"
+        synth.features(
+            spark, n_polygons=8000, n_roads=4000, n_pois=8000
+        ).write.mode("overwrite").parquet(inc1_path)
+        feats20k = spark.read.parquet(inc1_path)
+        removed1 = feats20k.filter(in_region)
+        added1 = removed1.withColumn(
+            "props", F.map_concat("props", F.create_map(F.lit("v"), F.lit("2")))
+        )
+        new1 = feats20k.filter(~in_region).unionByName(added1)
+        old1 = build_tiles(feats20k, inc_zooms)
+        old1.cache()
+        sf1["tiles_incremental_total"] = old1.count()
+        sf1["tiles_full_rebuild_sec"], sf1["tiles_full_rebuild_n"] = sf1_timed(
+            lambda: build_tiles(new1, inc_zooms).count()
+        )
+        sf1["tiles_incremental_sec"], _n_inc1 = sf1_timed(
+            lambda: incremental_tiles_delta(
+                old1, new1, removed1, added1, inc_zooms
+            ).count()
+        )
+        sf1["tiles_incremental_speedup"] = round(
+            sf1["tiles_full_rebuild_sec"] / sf1["tiles_incremental_sec"], 2
+        )
+        old1.unpersist()
         for k, v in sf1.items():
             print(f"[bench] sf1 {k}: {v}", file=sys.stderr, flush=True)
 
@@ -647,16 +676,29 @@ def main():
             tn = t4n = 1e18
             pair_effs = []
             t_scaling0 = time.time()
-            for pair in range(6):
-                # adaptive: stop once a clean pair exists (≥ 0.85) or the
-                # section's wall budget is spent — but always run ≥ 2 pairs.
-                # 6 pairs max at the 5x input (~300 s/pair clean): the r3
-                # lesson is that pairs are cheap and clean windows are rare;
-                # the run that stopped at 2 pairs under a 10x input recorded
-                # a noise-floor 0.68 against a corroborated ~0.9.
+
+            def _median_clamped(effs):
+                """Median of pairs, each clamped at 1.0 first: a pair > 1.0
+                means ITS N side was the disturbed one — clamping stops an
+                implausible pair from inflating the headline while still
+                letting it count as evidence of ≥-perfect scaling."""
+                if not effs:
+                    return 0.0
+                s = sorted(min(e, 1.0) for e in effs)
+                m = len(s) // 2
+                return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
+            for pair in range(8):
+                # the headline is MEDIAN-of-pairs (r4: the r3 artifact's
+                # best-of-pairs headline left a sub-0.8 pair in the record
+                # with only 2 samples — ambiguous). Always run ≥ 3 pairs;
+                # keep sampling (up to 8 / the wall budget) while the median
+                # is still noise-dominated (< 0.8) — under sustained load,
+                # more same-window samples are the only honest remedy.
                 elapsed = time.time() - t_scaling0
-                best_plausible = max([e for e in pair_effs if e <= 1.0], default=0.0)
-                if pair >= 2 and (best_plausible >= 0.85 or elapsed > 2400):
+                if pair >= 3 and (
+                    _median_clamped(pair_effs) >= 0.8 or elapsed > 2400
+                ):
                     break
                 wait_for_quiet()  # don't burn a pair inside a noise episode
                 # fresh CPU masks per pair (co-tenant load moves): the N-run
@@ -687,15 +729,10 @@ def main():
                     f"[bench] scaling pair {pair}: eff={pair_effs[-1]}",
                     file=sys.stderr, flush=True,
                 )
-            # noise-robust estimator: each pair samples the SAME host window.
-            # Co-tenant interference only ever DEFLATES a pair's 4N side or
-            # INFLATES its N side unpredictably, so the BEST pair is the one
-            # measured under the cleanest window (best-of-k pairs); median
-            # and global min-per-side are reported alongside for transparency.
-            srt = sorted(pair_effs)
-            eff_median = srt[len(srt) // 2] if len(srt) % 2 else round(
-                (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2, 3
-            )
+            # HEADLINE = median of ≥3 clamped pairs: each pair samples the
+            # same host window, so the median is robust to a single noisy
+            # window on either side; best-plausible-pair and global
+            # min-per-side are reported alongside for transparency.
             thr_n = rows_n / tn
             thr_4n = rows_4n / t4n
             scaling = {
@@ -708,16 +745,12 @@ def main():
                 "throughput_n": round(thr_n, 1),
                 "throughput_4n": round(thr_4n, 1),
                 "pair_efficiencies": pair_effs,
-                "efficiency_median": eff_median,
-                "efficiency_minside": round((thr_4n / thr_n) / 4.0, 3),
-                # a pair > 1.0 means ITS N side was the noisy one — not a
-                # credible efficiency; best plausible pair, else the median
-                # clamped to 1.0 (all-pairs-implausible = N was disturbed in
-                # every window; perfect scaling is the only honest bound)
-                "efficiency": max(
-                    [e for e in pair_effs if e <= 1.0],
-                    default=min(eff_median, 1.0),
+                "efficiency_median": _median_clamped(pair_effs),
+                "efficiency_best_plausible": max(
+                    [e for e in pair_effs if e <= 1.0], default=None
                 ),
+                "efficiency_minside": round((thr_4n / thr_n) / 4.0, 3),
+                "efficiency": _median_clamped(pair_effs),
             }
         except Exception as e:  # noqa: BLE001
             scaling = {"error": str(e)[:200]}
