@@ -256,6 +256,15 @@ def _encode_layer(
 # --------------------------------------------------------------------------
 
 
+def _full_rect() -> np.ndarray:
+    """The clip-mask rectangle clip_polygon's fast path emits for a tile
+    fully covered by a ring (kernels/clip.py, lib/spatial/polygon.go:26-40
+    semantics): [[minx,miny],[maxx,miny],[maxx,maxy],[minx,maxy]] over the
+    (0,0,EXTENT,EXTENT) mask."""
+    e = float(EXTENT)
+    return np.array([[0.0, 0.0], [e, 0.0], [e, e], [0.0, e]], np.float64)
+
+
 def encode_tile(features_by_layer: dict[str, list[dict]], x: int, y: int, z: int) -> bytes | None:
     """EncodeTile (lib/mvt/codec.go:57-84), layers sorted by name."""
     out = bytearray()
@@ -280,6 +289,14 @@ def assemble_layer(name, features, x, y, z) -> bytes | None:
 
     clipped: list[dict] = []
     for ft in features:
+        if ft.get("cc") == 1:
+            # pre-classified full cover (kernels/coverclass): exactly what
+            # project+clip returns for a ring that provably covers the tile —
+            # the clip-mask rectangle in fast-path vertex order
+            clipped.append(
+                {"geom_type": 3, "coords": [_full_rect()], "props": ft["props"]}
+            )
+            continue
         projected = project_coords(ft["geom_type"], ft["coords"], tp)
         for gt, cc in _clip.clip_geom(ft["geom_type"], projected, clip_mask):
             clipped.append({"geom_type": gt, "coords": cc, "props": ft["props"]})

@@ -96,13 +96,20 @@ def _encode_tile_geojson(by_layer: dict, x: int, y: int, z: int) -> bytes | None
     from ..kernels import clip as _clip
     from ..kernels.mvt import EXTENT, TileParams, project_coords
 
+    from ..kernels.mvt import _full_rect
+
     tp = TileParams(x, y, z)
     mask = (0.0, 0.0, float(EXTENT), float(EXTENT))
     feats = []
     for layer in sorted(by_layer):
         for ft in by_layer[layer]:
-            projected = project_coords(ft["geom_type"], ft["coords"], tp)
-            for gt, cc in _clip.clip_geom(ft["geom_type"], projected, mask):
+            if ft.get("cc") == 1:
+                # pre-classified full cover — same rect the exact path yields
+                pieces = [(3, [_full_rect()])]
+            else:
+                projected = project_coords(ft["geom_type"], ft["coords"], tp)
+                pieces = _clip.clip_geom(ft["geom_type"], projected, mask)
+            for gt, cc in pieces:
                 if gt == 1:
                     geom = {"type": "Point", "coordinates": [int(cc[0]), int(cc[1])]}
                 elif gt == 2:
@@ -159,10 +166,23 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
             rows = sorted(group, key=lambda r: r["feature_id"])
             by_layer: dict[str, list[dict]] = {}
             for row in rows:
+                # _cc: the vectorized pre-classification (kernels/coverclass):
+                # 2 = provably contributes nothing to this tile (the exact
+                # clip would return []); 1 = provably the full-tile rectangle
+                # (skip parse+project+clip, the codec emits it directly);
+                # 0 = the exact path decides. Byte-identical by construction.
+                cc = int(row["_cc"]) if row.get("_cc") is not None else 0
+                if cc == 2:
+                    continue
+                props = dict(row["props"]) if row["props"] is not None else {}
+                if cc == 1:
+                    by_layer.setdefault(row["layer_name"], []).append(
+                        {"geom_type": 3, "coords": None, "cc": 1, "props": props}
+                    )
+                    continue
                 gt, coords = from_wkb(bytes(row["wkb"]))
                 if eps is not None and gt == 2:
                     coords = simplify_rdp(coords, eps)
-                props = dict(row["props"]) if row["props"] is not None else {}
                 by_layer.setdefault(row["layer_name"], []).append(
                     {"geom_type": gt, "coords": coords, "props": props}
                 )
@@ -184,6 +204,37 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
     # encoded twice, measured 5x wall). Marking it nondeterministic pins a
     # single evaluation. (The function is in fact deterministic.)
     return encode_batch.asNondeterministic()
+
+
+def _make_classifier(simplify: bool = False):
+    """Scalar pandas UDF over coverage rows → ``_cc`` tinyint (see
+    kernels/coverclass). Runs PRE-shuffle, where a feature's cells are
+    contiguous, so each Arrow batch classifies whole features in single
+    numpy passes across all their tiles. ``simplify`` must mirror the
+    encoder's flag — it widens line margins to cover the RDP tolerance."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ByteType())
+    def classify(
+        zs: pd.Series, xs: pd.Series, ys: pd.Series, wkbs: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        from ..kernels.coverclass import classify_rows
+
+        if len(zs) == 0:
+            return pd.Series(np.zeros(0, np.int8))
+        return pd.Series(
+            classify_rows(
+                zs.to_numpy(np.int64),
+                xs.to_numpy(np.int64),
+                ys.to_numpy(np.int64),
+                wkbs.to_numpy(object),
+                simplify=simplify,
+            )
+        )
+
+    return classify
 
 
 def _coverage_via_anchors(
@@ -276,6 +327,7 @@ def build_tiles(
     max_features_per_tile: int | None = None,
     only_cells: DataFrame | None = None,
     anchor_cells: dict[int, "tuple[int, DataFrame]"] | None = None,
+    classify: bool = True,
 ) -> DataFrame:
     """features → MVT tiles at the given zoom levels.
 
@@ -307,6 +359,21 @@ def build_tiles(
             ["tile_z", "tile_x", "tile_y"],
             "left_semi",
         )
+
+    # Pre-shuffle coverage classification (kernels/coverclass): decide
+    # full-cover / outside / general for ALL of a feature's tiles in one
+    # vectorized pass while the feature's cells are still contiguous —
+    # the per-tile scalar fast-path scan this replaces was ~45% of encode
+    # CPU at z13. ``classify=False`` forces every row down the exact path
+    # (the byte-identity differ in tests flips this flag).
+    if classify:
+        cls = _make_classifier(simplify)
+        all_cov = all_cov.withColumn(
+            "_cc",
+            cls(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), F.col("wkb")),
+        )
+    else:
+        all_cov = all_cov.withColumn("_cc", F.lit(0).cast("tinyint"))
 
     # Pin the tile shuffle's partition count (REPARTITION_BY_NUM): AQE
     # coalesces post-shuffle partitions by BYTE size, and tile groups are
@@ -347,7 +414,7 @@ def build_tiles(
 
     grouped = all_cov.groupBy("tile_z", "tile_x", "tile_y").agg(
         F.collect_list(
-            F.struct("feature_id", "layer_name", "wkb", "props")
+            F.struct("feature_id", "layer_name", "wkb", "props", "_cc")
         ).alias("feats")
     )
     enc = _make_batched_encoder(gzip, simplify, codec)
