@@ -135,6 +135,11 @@ def _encode_tile_geojson(by_layer: dict, x: int, y: int, z: int) -> bytes | None
     ).encode()
 
 
+# worker-process scoped memo for all-full-cover tiles (see encode_batch);
+# keyed by ((layer, sorted props), ...) + codec/gzip via the enclosing UDF
+_RECT_TILE_CACHE: dict = {}
+
+
 def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
     """Scalar pandas UDF encoding MANY tiles per Arrow batch.
 
@@ -158,12 +163,37 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
         from ..kernels.geometry import simplify_rdp
         from ..kernels.tilemath import resolution
 
+        # INTERIOR-TILE MEMO: a tile whose surviving features are ALL
+        # pre-classified full-cover rectangles encodes to bytes that do not
+        # depend on (x, y, z) at all — geometry is the tile-local clip-mask
+        # rect, layers/tags depend only on (layer, props) in sorted-id
+        # order. Deep-zoom interiors of the same polygon are thousands of
+        # such tiles; one encode serves them all. Worker-process scoped,
+        # size-capped (encode stays correct on any hit rate).
+        rect_cache: dict = _RECT_TILE_CACHE
+
         n_out, buf_out = [], []
         for z, x, y, group in zip(zs, xs, ys, feats):
             z, x, y = int(z), int(x), int(y)
             eps = resolution(z, 4096) if simplify else None
             # deterministic order regardless of shuffle arrival
             rows = sorted(group, key=lambda r: r["feature_id"])
+            key = None
+            if all(int(r["_cc"] or 0) != 0 for r in rows):
+                # codec/gzip in the key: the memo is module-scoped and
+                # shared across encoder configurations
+                key = (codec, gzip) + tuple(
+                    (
+                        r["layer_name"],
+                        tuple(sorted(r["props"].items())) if r["props"] else (),
+                    )
+                    for r in rows
+                    if int(r["_cc"] or 0) == 1
+                )
+                if key in rect_cache:
+                    n_out.append(len(rows))
+                    buf_out.append(rect_cache[key])
+                    continue
             by_layer: dict[str, list[dict]] = {}
             for row in rows:
                 # _cc: the vectorized pre-classification (kernels/coverclass):
@@ -192,6 +222,10 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
                 buf = encode_tile(by_layer, x, y, z)
             if buf is not None and gzip:
                 buf = gzip_tile(buf)
+            if key is not None:
+                if len(rect_cache) > 100_000:
+                    rect_cache.clear()
+                rect_cache[key] = buf
             n_out.append(len(rows))
             buf_out.append(buf)
         return pd.DataFrame(
