@@ -374,6 +374,17 @@ def build_tiles(
     merge are order-sensitive), so groups are never split; rows are sorted
     by feature_id inside the UDF for shuffle-order independence.
     """
+    n_shuffle = int(
+        features.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if classify:
+        # The classifier adds real Python work to the PRE-exchange stage,
+        # whose width is otherwise the feature scan's input-partition count
+        # (a small feature table coalesces to a handful of tasks under
+        # file-based splitting). Repartitioning the FEATURE rows — cheap,
+        # proportional to features, not coverage — runs explode+classify at
+        # full width, and the per-zoom union branches reuse one exchange.
+        features = features.repartition(n_shuffle)
     all_cov = _routed_coverage(features, zooms, anchor_cells)
     if all_cov is None:
         return features.sparkSession.createDataFrame([], TILES_SCHEMA)
@@ -416,10 +427,7 @@ def build_tiles(
     # of shuffle bytes coalesced into 3 partitions. The explicit hash
     # repartition on the group keys satisfies both the cap-window's and the
     # groupBy's required distribution, so the plan still has exactly ONE
-    # exchange — now at full width.
-    n_shuffle = int(
-        all_cov.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    # exchange on the coverage rows — now at full width.
     all_cov = all_cov.repartition(n_shuffle, "tile_z", "tile_x", "tile_y")
 
     if max_features_per_tile is not None:
