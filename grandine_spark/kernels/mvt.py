@@ -78,15 +78,24 @@ class TileParams:
         return tp
 
 
-def tile_point_np(lon: np.ndarray, lat: np.ndarray, tp: TileParams):
-    """tilePoint (lib/mvt/project.go:48-54), vectorized. Note the reference's
-    y-flip truncates to int before flipping (flipFloat, project.go:13-19)."""
-    mx, my = proj_4326_to_3857_np(lon, lat)
+def tile_affine_np(mx: np.ndarray, my: np.ndarray, tp: TileParams):
+    """The tile-local remainder of tilePoint after the mercator projection:
+    scale/offset into pixel space plus the y-flip (flipFloat,
+    lib/mvt/project.go:13-19, truncates to int before flipping). Split out
+    so the batched encoder (kernels/mvt_batch.py) can reuse a per-geometry
+    mercator result across every tile the geometry covers — this function
+    IS the byte-identity contract between the two paths."""
     ext = float(tp.extent)
     x = (mx - tp.x_offset) / (tp.x_scale / ext) * ext
     y_raw = (my - tp.y_offset) / (tp.y_scale / ext) * ext
     y = ext - np.trunc(y_raw)  # flipFloat: extent - int(v)
     return x, y
+
+
+def tile_point_np(lon: np.ndarray, lat: np.ndarray, tp: TileParams):
+    """tilePoint (lib/mvt/project.go:48-54), vectorized."""
+    mx, my = proj_4326_to_3857_np(lon, lat)
+    return tile_affine_np(mx, my, tp)
 
 
 def project_coords(geom_type: int, coords, tp: TileParams):

@@ -140,26 +140,15 @@ def _encode_tile_geojson(by_layer: dict, x: int, y: int, z: int) -> bytes | None
 _RECT_TILE_CACHE: dict = {}
 
 
-def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
-    """Scalar pandas UDF encoding MANY tiles per Arrow batch.
+def _make_encoder_fn(gzip: bool, simplify: bool, codec: str):
+    """The raw (undecorated) batch-encode function behind the scalar pandas
+    UDF — exposed separately so scripts/profile_encode.py can run the exact
+    executor code path serially under cProfile."""
 
-    applyInPandas pays per-GROUP overhead (one pandas frame + one Python
-    call per tile); with the typical tile holding a handful of features
-    that overhead dominates. collect_list + a scalar UDF amortizes it:
-    one Python call per Arrow batch of tiles (~100s of tiles), same bytes."""
-    from pyspark.sql.functions import pandas_udf
-
-    result_t = T.StructType(
-        [
-            T.StructField("n_features", T.IntegerType()),
-            T.StructField("tile", T.BinaryType()),
-        ]
-    )
-
-    @pandas_udf(result_t)
     def encode_batch(
         zs: pd.Series, xs: pd.Series, ys: pd.Series, feats: pd.Series
     ) -> pd.DataFrame:
+        from ..kernels import mvt_batch
         from ..kernels.geometry import simplify_rdp
         from ..kernels.tilemath import resolution
 
@@ -172,7 +161,36 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
         # size-capped (encode stays correct on any hit rate).
         rect_cache: dict = _RECT_TILE_CACHE
 
-        n_out, buf_out = [], []
+        # per-batch parse + projection memos: the same feature's wkb appears
+        # in EVERY tile it covers within the batch (the shuffle hashes on
+        # tile keys, but groups of neighboring tiles share their features),
+        # and the mercator projection does not depend on the tile at all —
+        # only the cheap affine into pixel space does (mvt.tile_affine_np).
+        parse_memo: dict = {}  # wkb -> (gt, coords)
+        merc_memo: dict = {}  # (wkb, eps|None) -> (gt, coords', merc)
+
+        def feat_for(w: bytes, eps, props: dict) -> dict:
+            mkey = (w, eps)
+            ent = merc_memo.get(mkey)
+            if ent is None:
+                parsed = parse_memo.get(w)
+                if parsed is None:
+                    parsed = parse_memo[w] = from_wkb(w)
+                gt, coords = parsed
+                if eps is not None and gt == 2:
+                    coords = simplify_rdp(coords, eps)
+                merc = mvt_batch.mercator_of(gt, coords)
+                ent = merc_memo[mkey] = (gt, coords, merc)
+            gt, coords, merc = ent
+            return {"geom_type": gt, "coords": coords, "merc": merc, "props": props}
+
+        # slot per input tile: either finished bytes (rect-memo hit /
+        # geojson codec) or an index into the batched-MVT work list
+        n_out: list[int] = []
+        buf_out: list = []
+        mvt_work: list = []  # (z, x, y, by_layer)
+        mvt_slots: list[int] = []  # buf_out index per work item
+        mvt_keys: list = []  # rect-memo key per work item (or None)
         for z, x, y, group in zip(zs, xs, ys, feats):
             z, x, y = int(z), int(x), int(y)
             eps = resolution(z, 4096) if simplify else None
@@ -210,28 +228,63 @@ def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
                         {"geom_type": 3, "coords": None, "cc": 1, "props": props}
                     )
                     continue
-                gt, coords = from_wkb(bytes(row["wkb"]))
-                if eps is not None and gt == 2:
-                    coords = simplify_rdp(coords, eps)
                 by_layer.setdefault(row["layer_name"], []).append(
-                    {"geom_type": gt, "coords": coords, "props": props}
+                    feat_for(bytes(row["wkb"]), eps, props)
                 )
             if codec == "geojson":
                 buf = _encode_tile_geojson(by_layer, x, y, z)
-            else:
-                buf = encode_tile(by_layer, x, y, z)
-            if buf is not None and gzip:
-                buf = gzip_tile(buf)
-            if key is not None:
-                if len(rect_cache) > 100_000:
-                    rect_cache.clear()
-                rect_cache[key] = buf
+                if buf is not None and gzip:
+                    buf = gzip_tile(buf)
+                if key is not None:
+                    if len(rect_cache) > 100_000:
+                        rect_cache.clear()
+                    rect_cache[key] = buf
+                n_out.append(len(rows))
+                buf_out.append(buf)
+                continue
+            mvt_slots.append(len(buf_out))
+            mvt_keys.append(key)
             n_out.append(len(rows))
-            buf_out.append(buf)
+            buf_out.append(None)
+            mvt_work.append((z, x, y, by_layer))
+
+        if mvt_work:
+            # batch-wide MVT encode (kernels/mvt_batch): command weave and
+            # varint emission vectorized across every tile of the Arrow
+            # batch; byte-identical to mvt.encode_tile per tile
+            bufs = mvt_batch.encode_tiles_mvt(mvt_work)
+            for slot, key, buf in zip(mvt_slots, mvt_keys, bufs):
+                if buf is not None and gzip:
+                    buf = gzip_tile(buf)
+                if key is not None:
+                    if len(rect_cache) > 100_000:
+                        rect_cache.clear()
+                    rect_cache[key] = buf
+                buf_out[slot] = buf
         return pd.DataFrame(
             {"n_features": pd.array(n_out, dtype="int32"), "tile": buf_out}
         )
 
+    return encode_batch
+
+
+def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
+    """Scalar pandas UDF encoding MANY tiles per Arrow batch.
+
+    applyInPandas pays per-GROUP overhead (one pandas frame + one Python
+    call per tile); with the typical tile holding a handful of features
+    that overhead dominates. collect_list + a scalar UDF amortizes it:
+    one Python call per Arrow batch of tiles (~100s of tiles), same bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    result_t = T.StructType(
+        [
+            T.StructField("n_features", T.IntegerType()),
+            T.StructField("tile", T.BinaryType()),
+        ]
+    )
+
+    encode_batch = pandas_udf(result_t)(_make_encoder_fn(gzip, simplify, codec))
     # nondeterministic marker: the null-tile filter and the output projection
     # both reference the UDF result — Catalyst duplicates deterministic UDF
     # calls into BOTH operators (two ArrowEvalPython nodes = every tile
@@ -377,13 +430,16 @@ def build_tiles(
     n_shuffle = int(
         features.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    if classify:
+    if classify and features.rdd.getNumPartitions() < n_shuffle:
         # The classifier adds real Python work to the PRE-exchange stage,
         # whose width is otherwise the feature scan's input-partition count
         # (a small feature table coalesces to a handful of tasks under
         # file-based splitting). Repartitioning the FEATURE rows — cheap,
         # proportional to features, not coverage — runs explode+classify at
         # full width, and the per-zoom union branches reuse one exchange.
+        # Conditional on the input actually being narrow: a big scan is
+        # already wide, and forcing it through n_shuffle partitions would
+        # ADD a shuffle at scale for nothing.
         features = features.repartition(n_shuffle)
     all_cov = _routed_coverage(features, zooms, anchor_cells)
     if all_cov is None:
