@@ -205,6 +205,12 @@ def _ring_depth(i: int, soup) -> int:
     return depth
 
 
+def _pts_bbox(pts) -> tuple[float, float, float, float]:
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
 def _cut_soup(soup, axis: int, v: float, sign: float):
     """Cut an even-odd ring soup by the half-plane sign·(p[axis] − v) ≥ 0.
 
@@ -414,8 +420,12 @@ def _ring_border_intersects(ring, bbox, eps: float = 1e-7) -> bool:
 
 
 def _any_border_intersection_np(a: np.ndarray, b: np.ndarray, bbox) -> bool:
+    return bool(_border_intersection_mask_np(a, b, bbox).any())
+
+
+def _border_intersection_mask_np(a: np.ndarray, b: np.ndarray, bbox) -> np.ndarray:
     """Exact vectorized twin of ``any(segment_intersection(seg, border)[1])``
-    over candidate segments × the 4 bbox borders: same cartesian
+    PER SEGMENT over candidate segments × the 4 bbox borders: same cartesian
     coefficients, same 8-dp rounding (round8_np == scalar round8), same
     rounded-endpoint HasPoint bounds (lib/spatial/line.go:240-348)."""
     from .rounding import round8_np
@@ -450,17 +460,91 @@ def _any_border_intersection_np(a: np.ndarray, b: np.ndarray, bbox) -> bool:
         & (ix >= slo_x) & (ix <= shi_x) & (iy >= slo_y) & (iy <= shi_y)
         & (ix >= blo_x) & (ix <= bhi_x) & (iy >= blo_y) & (iy <= bhi_y)
     )
-    return bool(ok.any())
+    return ok.any(axis=1)
 
 
-def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
+def ring_border_hits_batch(rings: list, bbox, eps: float = 1e-7) -> np.ndarray:
+    """Vectorized `_ring_border_intersects` over MANY rings at once —
+    identical verdict per ring (differ-tested), one numpy pass for the
+    whole batch instead of one Python call per (ring, tile) pair. Used by
+    kernels/mvt_batch for all single-ring polygon pairs of an Arrow batch,
+    where the clip mask is the constant (0, 0, extent, extent).
+
+    Exactness: the candidate prefilter is a conservative superset of true
+    border crossings under the kernel's 8-dp rounding (a crossing segment's
+    bbox must come within eps of a border span), and every candidate runs
+    the same exact vectorized kernel as the scalar path
+    (_border_intersection_mask_np), so verdicts match bit-for-bit.
+    """
+    nr = len(rings)
+    hits = np.zeros(nr, bool)
+    if nr == 0:
+        return hits
+    # close every ring (append first point when not already closed), then
+    # concatenate; segments are consecutive point pairs that do not cross
+    # a ring boundary
+    blocks: list[np.ndarray] = []
+    lens = np.empty(nr, np.int64)
+    for i, ring in enumerate(rings):
+        p = np.asarray(ring, np.float64)
+        if len(p) < 2:
+            lens[i] = 0
+            continue
+        if p[0, 0] != p[-1, 0] or p[0, 1] != p[-1, 1]:
+            blocks.append(p)
+            blocks.append(p[:1])
+            lens[i] = len(p) + 1
+        else:
+            blocks.append(p)
+            lens[i] = len(p)
+    keep = lens > 0
+    if not blocks:
+        return hits
+    P = np.concatenate(blocks, axis=0)
+    ends = np.cumsum(lens[keep])
+    a_all, b_all = P[:-1], P[1:]
+    valid = np.ones(len(P) - 1, bool)
+    valid[ends[:-1] - 1] = False  # pairs straddling ring boundaries
+    rid_all = np.repeat(np.flatnonzero(keep), lens[keep] - 1)
+    a, b = a_all[valid], b_all[valid]
+
+    minx, miny, maxx, maxy = bbox
+    sxlo, sxhi = np.minimum(a[:, 0], b[:, 0]), np.maximum(a[:, 0], b[:, 0])
+    sylo, syhi = np.minimum(a[:, 1], b[:, 1]), np.maximum(a[:, 1], b[:, 1])
+    yov = (syhi >= miny - eps) & (sylo <= maxy + eps)
+    xov = (sxhi >= minx - eps) & (sxlo <= maxx + eps)
+    near_vx = ((sxlo <= minx + eps) & (sxhi >= minx - eps)) | (
+        (sxlo <= maxx + eps) & (sxhi >= maxx - eps)
+    )
+    near_hy = ((sylo <= miny + eps) & (syhi >= miny - eps)) | (
+        (sylo <= maxy + eps) & (syhi >= maxy - eps)
+    )
+    cand = np.flatnonzero((yov & near_vx) | (xov & near_hy))
+    if cand.size == 0:
+        return hits
+    seghit = _border_intersection_mask_np(a[cand], b[cand], bbox)
+    hits[np.unique(rid_all[cand[seghit]])] = True
+    return hits
+
+
+def clip_polygon(
+    polygon: list[np.ndarray], bbox, border_hit: bool | None = None
+) -> list[list[np.ndarray]]:
     """Polygon.ClipToBBox with the reference's short circuits
     (lib/spatial/polygon.go:26-40), then the GEOS-parity rectangle
     intersection (lib/spatial/clip_geos.go:11-41 semantics): 0..N result
-    polygons, concave straddlers split, holes preserved/merged."""
+    polygons, concave straddlers split, holes preserved/merged.
+
+    ``border_hit``: precomputed ``_ring_border_intersects(polygon[0], bbox)``
+    verdict for single-ring polygons (kernels/mvt_batch computes it for a
+    whole Arrow batch of (ring, tile) pairs in one vectorized pass); None
+    computes it here. Must equal the scalar verdict exactly — differ-tested.
+    """
     minx, miny, maxx, maxy = bbox
     if len(polygon) == 1:
-        if not _ring_border_intersects(polygon[0], bbox):
+        if border_hit is None:
+            border_hit = _ring_border_intersects(polygon[0], bbox)
+        if not border_hit:
             rminx, rminy, rmaxx, rmaxy = ring_bbox(polygon[0])
             # bbox fully inside ring's bbox AND an interior point inside the
             # ring → emit the bbox rectangle. The interior test decides
@@ -495,13 +579,15 @@ def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
     # locally left: counter-clockwise shells, clockwise holes), then four
     # half-plane cuts, then nest/orient the surviving rings
     soup = []
+    boxes = []  # per-ring (minx, miny, maxx, maxy), maintained through cuts
     for ring in polygon:
-        pts = [(float(x), float(y)) for x, y in np.asarray(ring, np.float64)]
+        pts = list(map(tuple, np.asarray(ring, np.float64).tolist()))
         pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
         if len(pts) > 1 and pts[0] == pts[-1]:
             pts.pop()
         if len(pts) >= 3:
             soup.append(pts)
+            boxes.append(_pts_bbox(pts))
     if not soup:
         return []
     norm = []
@@ -516,20 +602,58 @@ def clip_polygon(polygon: list[np.ndarray], bbox) -> list[list[np.ndarray]]:
         (1, miny, 1.0),
         (1, maxy, -1.0),
     ):
-        soup = _cut_soup(soup, axis, v, sign)
+        # bbox prefilter — an EXACT 2-compare substitute for _cut_soup's
+        # O(n) per-vertex sign scan: with s_i = sign·(p_i[axis] − v),
+        # all(s≥0) ⟺ ring's lo ≥ v (sign>0) / hi ≤ v (sign<0), and
+        # any(s>0) ⟺ hi > v / lo < v — the coordinate extrema decide the
+        # trivial keep/drop branches exactly. Only genuinely straddling
+        # rings enter _cut_soup; they never take its trivial branches, and
+        # its chain-assembled output always follows trivial keeps in the
+        # original's order, so soup order (which downstream nesting and
+        # first-seen dict encoding observe) is unchanged.
+        trivial: list = []
+        tboxes: list = []
+        mixed: list = []
+        for pts, bx in zip(soup, boxes):
+            lo, hi = (bx[0], bx[2]) if axis == 0 else (bx[1], bx[3])
+            if sign > 0:
+                if lo >= v:
+                    if hi > v:
+                        trivial.append(pts)
+                        tboxes.append(bx)
+                    continue
+                if hi <= v:
+                    continue
+            else:
+                if hi <= v:
+                    if lo < v:
+                        trivial.append(pts)
+                        tboxes.append(bx)
+                    continue
+                if lo >= v:
+                    continue
+            mixed.append(pts)
+        if mixed:
+            assembled = _cut_soup(mixed, axis, v, sign)
+            soup = trivial + assembled
+            for p in assembled:
+                tboxes.append(_pts_bbox(p))
+        else:
+            soup = trivial
+        boxes = tboxes
         if not soup:
             return []
     return _assemble_polygons(soup)
 
 
-def clip_geom(geom_type: int, coords, bbox):
+def clip_geom(geom_type: int, coords, bbox, border_hit: bool | None = None):
     """Polymorphic clip (lib/spatial/geom.go:373-384): returns list of
-    (geom_type, coords)."""
+    (geom_type, coords). ``border_hit``: see clip_polygon."""
     if geom_type == 1:
         x, y = coords
         return [(1, coords)] if clip_point(x, y, bbox) else []
     if geom_type == 2:
         return [(2, ln) for ln in clip_line(coords, bbox)]
     if geom_type == 3:
-        return [(3, poly) for poly in clip_polygon(coords, bbox)]
+        return [(3, poly) for poly in clip_polygon(coords, bbox, border_hit)]
     raise ValueError(f"unknown geom_type {geom_type}")

@@ -302,10 +302,25 @@ def encode_tiles_mvt(work: list[tuple[int, int, int, dict]]) -> list:
         pix_parts = [P[s:e] for s, e in zip(starts, ends)]
 
     _tick(_t, "affine")
-    # ---- pass 1c (scalar): clip per pending feature
+    # ---- pass 1c: clip per pending feature. The polygon fast-path decider
+    # (does the ring cross the tile border?) runs batched first — one numpy
+    # pass over every single-ring (polygon, tile) pair instead of a Python
+    # segment scan per pair; verdicts are exact (ring_border_hits_batch).
+    hints = np.full(len(pend_gt), -1, np.int8)
+    sr_rings: list = []
+    sr_idx: list[int] = []
+    pi = 0
+    for fi, (gt, nparts) in enumerate(zip(pend_gt, pend_nparts)):
+        if gt == 3 and nparts == 1:
+            sr_idx.append(fi)
+            sr_rings.append(pix_parts[pi])
+        pi += nparts
+    if sr_idx:
+        hints[sr_idx] = _clip.ring_border_hits_batch(sr_rings, clip_mask)
+
     pend_clipped: list = []
     pi = 0
-    for gt, nparts in zip(pend_gt, pend_nparts):
+    for fi, (gt, nparts) in enumerate(zip(pend_gt, pend_nparts)):
         if gt == 1:
             arr = pix_parts[pi]
             projected = (float(arr[0, 0]), float(arr[0, 1]))
@@ -314,7 +329,10 @@ def encode_tiles_mvt(work: list[tuple[int, int, int, dict]]) -> list:
         else:
             projected = pix_parts[pi : pi + nparts]
         pi += nparts
-        pend_clipped.append(_clip.clip_geom(gt, projected, clip_mask))
+        h = hints[fi]
+        pend_clipped.append(
+            _clip.clip_geom(gt, projected, clip_mask, None if h < 0 else bool(h))
+        )
 
     _tick(_t, "clip")
     # ---- pass 1d (scalar): merge + per-layer dict-encode, batch collection

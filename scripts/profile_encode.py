@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--batch", type=int, default=1000)
     ap.add_argument("--cached", action="store_true", help="reuse parquet")
+    ap.add_argument(
+        "--noprof", action="store_true",
+        help="wall-time only (no cProfile) — for A/B runs where profiler "
+        "overhead would bias versions with different call counts",
+    )
     args = ap.parse_args()
     zooms = [int(z) for z in args.zooms.split(",")]
     path = "/tmp/gs_profile_grouped"
@@ -95,6 +100,11 @@ def main() -> None:
         return total
 
     t0 = time.monotonic()
+    if args.noprof:
+        n = run()
+        wall = time.monotonic() - t0
+        print(f"[profile] encoded {n} non-null tiles in {wall:.1f}s serial")
+        return
     prof = cProfile.Profile()
     prof.enable()
     n = run()
