@@ -206,8 +206,7 @@ def _ring_depth(i: int, soup) -> int:
 
 
 def _pts_bbox(pts) -> tuple[float, float, float, float]:
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
+    xs, ys = zip(*pts)
     return (min(xs), min(ys), max(xs), max(ys))
 
 
@@ -218,63 +217,103 @@ def _cut_soup(soup, axis: int, v: float, sign: float):
     (counter-clockwise shells, clockwise holes in y-up coords). Boundary
     chains surviving on the keep side are re-connected along the cut line by
     exit→next-entry parity pairing — the step that lets one concave ring
-    split into several, and an edge-cut hole merge into its shell."""
+    split into several, and an edge-cut hole merge into its shell.
+
+    Scalar by design: the workload is ~1.7M calls per z13 rebuild with a
+    MEDIAN soup of one ring / ~5 vertices (tiny simplified fragments ×
+    many tiles), where per-call numpy setup costs more than the whole cut.
+    Hot-path shape: interpolation inlined (no per-call closures), trivial
+    keep/drop via min/max, event bookkeeping deferred until a second chain
+    proves the pairing step is needed — one chain (the overwhelmingly
+    common case) IS the output ring (its exit always pairs back to its own
+    entry, so the stitch walk is an identity)."""
     kept: list[list] = []
     chains: list[list] = []  # each: [entry_pt, ..., exit_pt]
-    events: list[tuple] = []  # (u, kind, chain_id) kind 0=exit, 1=entry
-
-    def u_of(p) -> float:
-        # direction along the line such that the keep side is on the left
-        return -sign * p[1] if axis == 0 else sign * p[0]
-
-    def interp(p, q, sp, sq):
-        t = sp / (sp - sq)
-        if axis == 0:
-            return (v, p[1] + t * (q[1] - p[1]))
-        return (p[0] + t * (q[0] - p[0]), v)
 
     for ring in soup:
-        s = [sign * (p[axis] - v) for p in ring]
-        if all(x >= 0 for x in s):
-            if any(x > 0 for x in s):
+        if axis == 0:
+            s = [sign * (p[0] - v) for p in ring]
+        else:
+            s = [sign * (p[1] - v) for p in ring]
+        if min(s) >= 0:
+            if max(s) > 0:
                 kept.append(ring)
             continue  # ring collapsed onto the line: degenerate, drop
-        if all(x <= 0 for x in s):
+        if max(s) <= 0:
             continue  # entirely on the discard side
         n = len(ring)
-        start = next(i for i in range(n) if s[i] < 0)
+        start = 0
+        while s[start] >= 0:
+            start += 1
         cur: list | None = None
         any_strict = False
+        p, sp = ring[start], s[start]
         for k in range(1, n + 1):
-            ip, ic = (start + k - 1) % n, (start + k) % n
-            sp, sc = s[ip], s[ic]
-            p, q = ring[ip], ring[ic]
+            ic = start + k
+            if ic >= n:
+                ic -= n
+            q, sc = ring[ic], s[ic]
             if cur is None:
                 if sc >= 0:  # entering the keep side
-                    cp = q if sc == 0 else interp(p, q, sp, sc)
-                    cur = [cp]
-                    any_strict = sc > 0
-                    if sc > 0 and q != cp:
-                        cur.append(q)
+                    if sc == 0:
+                        cur = [q]
+                        any_strict = False
+                    else:
+                        t = sp / (sp - sc)
+                        if axis == 0:
+                            cp = (v, p[1] + t * (q[1] - p[1]))
+                        else:
+                            cp = (p[0] + t * (q[0] - p[0]), v)
+                        cur = [cp, q] if q != cp else [cp]
+                        any_strict = True
             else:
                 if sc >= 0:
                     if q != cur[-1]:
                         cur.append(q)
-                    any_strict = any_strict or sc > 0
+                    if sc > 0:
+                        any_strict = True
                 else:  # exiting
-                    cp = p if sp == 0 else interp(p, q, sp, sc)
+                    if sp == 0:
+                        cp = p
+                    else:
+                        t = sp / (sp - sc)
+                        if axis == 0:
+                            cp = (v, p[1] + t * (q[1] - p[1]))
+                        else:
+                            cp = (p[0] + t * (q[0] - p[0]), v)
                     if cp != cur[-1]:
                         cur.append(cp)
                     if any_strict:
-                        cid = len(chains)
                         chains.append(cur)
-                        events.append((u_of(cur[-1]), 0, cid))
-                        events.append((u_of(cur[0]), 1, cid))
                     cur = None
                     any_strict = False
+            p, sp = q, sc
 
     if not chains:
         return kept
+    if len(chains) == 1:
+        # sole chain's exit pairs with its own entry regardless of event
+        # order (FIFO with one exit + the cyclic wrap both yield {0: 0}),
+        # so the stitch emits exactly this chain
+        ring_pts = chains[0]
+        if ring_pts[0] == ring_pts[-1]:
+            ring_pts.pop()
+        if len(ring_pts) >= 3:
+            kept.append(ring_pts)
+        return kept
+
+    # (u, kind, chain_id) kind 0=exit, 1=entry — u directed along the cut
+    # line with the keep side on the left; built in chain-creation order
+    # (exit before entry per chain) so the stable sort ties match the
+    # incremental construction
+    events: list[tuple] = []
+    for cid, ch in enumerate(chains):
+        if axis == 0:
+            events.append((-sign * ch[-1][1], 0, cid))
+            events.append((-sign * ch[0][1], 1, cid))
+        else:
+            events.append((sign * ch[-1][0], 0, cid))
+            events.append((sign * ch[0][0], 1, cid))
 
     # exit at u connects to the next entry at u' ≥ u (ties: exit first so a
     # grazing-vertex chain cancels against itself)
@@ -324,15 +363,26 @@ def _assemble_polygons(soup) -> list[list[np.ndarray]]:
     """Ring soup → polygons in the reference convention: shells clockwise,
     holes counter-clockwise (Polygon.FixWinding, lib/spatial/polygon.go:48-72),
     holes attached to their immediate shell; zero-area products dropped."""
-    rings = [r for r in soup if abs(_ring_area2_pts(r)) > _AREA_EPS]
+    rings: list = []
+    areas: list[float] = []
+    for r in soup:
+        a2 = _ring_area2_pts(r)
+        if abs(a2) > _AREA_EPS:
+            rings.append(r)
+            areas.append(a2)
     if not rings:
         return []
+    if len(rings) == 1:
+        # depth of a lone ring is 0 → a single shell, CW orientation
+        r, a2 = rings[0], areas[0]
+        pts = r if a2 > 0 else r[::-1]
+        return [[np.asarray(pts, np.float64)]]
     depths = [_ring_depth(i, rings) for i in range(len(rings))]
     polys: list[list[np.ndarray]] = []
     owner: dict[int, int] = {}
     for i, r in enumerate(rings):
         if depths[i] % 2 == 0:
-            pts = r if _ring_area2_pts(r) > 0 else r[::-1]  # shell: CW
+            pts = r if areas[i] > 0 else r[::-1]  # shell: CW
             owner[i] = len(polys)
             polys.append([np.asarray(pts, np.float64)])
     for i, r in enumerate(rings):
@@ -348,7 +398,7 @@ def _assemble_polygons(soup) -> list[list[np.ndarray]]:
                                 best, best_d = j, depths[j]
                             break
             if best is not None:
-                pts = r if _ring_area2_pts(r) < 0 else r[::-1]  # hole: CCW
+                pts = r if areas[i] < 0 else r[::-1]  # hole: CCW
                 polys[owner[best]].append(np.asarray(pts, np.float64))
     return polys
 

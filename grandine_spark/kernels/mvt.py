@@ -265,13 +265,23 @@ def _encode_layer(
 # --------------------------------------------------------------------------
 
 
+_FULL_RECT: np.ndarray | None = None
+
+
 def _full_rect() -> np.ndarray:
     """The clip-mask rectangle clip_polygon's fast path emits for a tile
     fully covered by a ring (kernels/clip.py, lib/spatial/polygon.go:26-40
     semantics): [[minx,miny],[maxx,miny],[maxx,maxy],[minx,maxy]] over the
-    (0,0,EXTENT,EXTENT) mask."""
-    e = float(EXTENT)
-    return np.array([[0.0, 0.0], [e, 0.0], [e, e], [0.0, e]], np.float64)
+    (0,0,EXTENT,EXTENT) mask. Cached read-only — one full z13 rebuild asks
+    for it ~700k times and no consumer mutates coords (write=False makes
+    any future mutation a loud error, not silent corruption)."""
+    global _FULL_RECT
+    if _FULL_RECT is None:
+        e = float(EXTENT)
+        rect = np.array([[0.0, 0.0], [e, 0.0], [e, e], [0.0, e]], np.float64)
+        rect.setflags(write=False)
+        _FULL_RECT = rect
+    return _FULL_RECT
 
 
 def encode_tile(features_by_layer: dict[str, list[dict]], x: int, y: int, z: int) -> bytes | None:
