@@ -359,16 +359,38 @@ def merge_features(features: list[dict]) -> list[dict]:
     if len(features) == 1:
         return features
 
+    # bucket by exact property-map equality. Hash path: a sorted-items
+    # tuple key is equal exactly when the dicts are (str keys can't tie,
+    # so values are never compared during the sort; value hashing matches
+    # dict `==` semantics, e.g. 1 vs 1.0). Unhashable values (never
+    # produced by the MVT/GeoJSON decoders, but possible via the public
+    # API) fall back to the reference's linear scan.
     buckets: list[list[dict]] = []
-    for ft in features:
-        for b in buckets:
-            if b[0]["props"] == ft["props"]:
+    try:
+        by_key: dict = {}
+        for ft in features:
+            key = tuple(sorted(ft["props"].items()))
+            b = by_key.get(key)
+            if b is None:
+                b = by_key[key] = [ft]
+                buckets.append(b)  # first-seen bucket order
+            else:
                 b.append(ft)
-                break
-        else:
-            buckets.append([ft])
+    except TypeError:
+        buckets = []
+        for ft in features:
+            for b in buckets:
+                if b[0]["props"] == ft["props"]:
+                    b.append(ft)
+                    break
+            else:
+                buckets.append([ft])
 
     for b in buckets:
+        # the fixpoint loop only ever changes LineString pairs; a bucket
+        # with fewer than two lines is already at its fixpoint
+        if sum(1 for ft in b if ft["geom_type"] == 2) < 2:
+            continue
         while True:
             start = len(b)
             if start == 1:
