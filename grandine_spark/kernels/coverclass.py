@@ -243,7 +243,9 @@ def classify_rows(zs, xs, ys, wkbs, simplify: bool = False) -> np.ndarray:
     vectorized call. Single-ring polygons get the full 0/1/2 treatment;
     lines get 0/2 (``simplify`` widens their margins to cover the RDP
     tolerance); holed polygons and points stay 0 (the exact path
-    decides)."""
+    decides). A null wkb means the caller's span gate decided the row
+    cannot pay for classification (build_tiles' ``classify_min_cells``)
+    — null runs stay code 0 without touching the bytes."""
     from .wkb import from_wkb
 
     n = len(wkbs)
@@ -252,6 +254,11 @@ def classify_rows(zs, xs, ys, wkbs, simplify: bool = False) -> np.ndarray:
     while i < n:
         j = i + 1
         wi = wkbs[i]
+        if wi is None:
+            while j < n and wkbs[j] is None:
+                j += 1
+            i = j
+            continue
         while j < n and wkbs[j] == wi:
             j += 1
         gt, coords = from_wkb(bytes(wi))

@@ -371,8 +371,12 @@ def _routed_coverage(
     """Unioned per-zoom coverage with the routed layer — the shared first
     stage of :func:`build_tiles` and :func:`tile_digests` (digest-vs-tile
     byte-identity depends on both seeing the exact same rows, so this
-    exists once). Columns: tile_z/x/y, feature_id, layer_name, wkb, props.
-    ``None`` when no zoom has work (anchor mode with an empty work list).
+    exists once). Columns: tile_z/x/y, feature_id, layer_name, wkb, props,
+    plus ``_nc`` — the feature's bbox cell count at that row's zoom (the
+    exact pre-restriction explode fan-out, computed once per zoom branch
+    while the bbox columns are still in scope; the classifier gate in
+    :func:`build_tiles` keys off it). ``None`` when no zoom has work
+    (anchor mode with an empty work list).
 
     Anchor mode (incremental): hierarchical coverage — explode to the
     coarse ANCHOR cells first (cheap: a handful per feature),
@@ -392,9 +396,14 @@ def _routed_coverage(
         else:
             cov = coverage_at(features, z)
         cov = cov.withColumn("layer_name", TX.layer_route(F.col("props")))
+        fx1, fy1, fx2, fy2 = TX.coverage_xy(
+            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z
+        )
+        nc = ((fx2 - fx1 + F.lit(1)) * (fy2 - fy1 + F.lit(1))).cast("long")
         per_zoom.append(
             cov.select(
-                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "wkb", "props"
+                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
+                "wkb", "props", nc.alias("_nc"),
             )
         )
     if not per_zoom:
@@ -415,6 +424,7 @@ def build_tiles(
     only_cells: DataFrame | None = None,
     anchor_cells: dict[int, "tuple[int, DataFrame]"] | None = None,
     classify: bool = True,
+    classify_min_cells: int = 8,
 ) -> DataFrame:
     """features → MVT tiles at the given zoom levels.
 
@@ -469,12 +479,35 @@ def build_tiles(
     # (the byte-identity differ in tests flips this flag).
     if classify:
         cls = _make_classifier(simplify)
+        # Span gate: a feature spanning few cells at its zoom has (almost)
+        # no trivially-classifiable rows — every cell is boundary-adjacent —
+        # so shipping its WKB to the Python classifier is pure Arrow
+        # transfer with no encode work to skip (measured: the city-delta
+        # incremental path was 97% code-0 and the classifier a net ~2s
+        # LOSS there, while the full z13 rebuild's savings come from
+        # giant multi-hundred-cell polygons). The when() below evaluates
+        # JVM-side in the ArrowEval input projection, so gated-out rows
+        # cross Arrow as NULL, not as duplicated WKB bytes; classify_rows
+        # leaves null runs at code 0 (the always-safe exact path).
+        gated_wkb = F.when(
+            F.col("_nc") >= classify_min_cells, F.col("wkb")
+        )
+        # Fuse the per-zoom union legs before the UDF: each pandas-UDF TASK
+        # pays ~190ms of fixed Python-runner protocol latency regardless of
+        # rows (measured: a trivial pandas UDF over 320 tasks = 1.9s wall vs
+        # 0.3s over 32, workers verified reused) — and the coverage union
+        # has zooms × feature-legs partitions. coalesce() concatenates whole
+        # parent partitions with NO shuffle, so a feature's cells stay
+        # contiguous (the property classify_rows' run-batching needs) while
+        # the UDF stage runs in n_shuffle tasks instead of legs × n_shuffle.
+        all_cov = all_cov.coalesce(n_shuffle)
         all_cov = all_cov.withColumn(
             "_cc",
-            cls(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), F.col("wkb")),
+            cls(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), gated_wkb),
         )
     else:
         all_cov = all_cov.withColumn("_cc", F.lit(0).cast("tinyint"))
+    all_cov = all_cov.drop("_nc")
 
     # Pin the tile shuffle's partition count (REPARTITION_BY_NUM): AQE
     # coalesces post-shuffle partitions by BYTE size, and tile groups are

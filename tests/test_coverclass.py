@@ -167,3 +167,51 @@ def test_build_tiles_classifier_byte_identity(spark):
             for r in build_tiles(feats, zooms, classify=False, **kw).collect()
         }
         assert on == off and len(on) > 1000, kw
+
+
+def test_classify_rows_null_runs():
+    """The span gate ships NULL wkb for rows that cannot pay for
+    classification (build_tiles' classify_min_cells) — null runs must stay
+    code 0 and must not break the run-batching of adjacent real features."""
+    import numpy as np
+
+    from grandine_spark.kernels.coverclass import classify_rows
+    from grandine_spark.kernels.wkb import to_wkb
+
+    sq = [[(0.0, 0.0), (40.0, 0.0), (40.0, 40.0), (0.0, 40.0), (0.0, 0.0)]]
+    w = to_wkb(3, sq)
+    zs = np.array([5] * 6, np.int64)
+    xs = np.array([16, 17, 18, 16, 17, 18], np.int64)
+    ys = np.array([14, 14, 14, 15, 15, 15], np.int64)
+    wkbs = np.array([None, None, w, w, w, None], object)
+    out = classify_rows(zs, xs, ys, wkbs)
+    assert out[0] == 0 and out[1] == 0 and out[5] == 0
+    # the real feature's run still classifies (cell (18,14) at z5 is
+    # interior for this 40-degree square)
+    assert out[2] in (0, 1, 2)
+    # all-null batch
+    out2 = classify_rows(zs, xs, ys, np.array([None] * 6, object))
+    assert (out2 == 0).all()
+
+
+@pytest.mark.usefixtures("spark")
+def test_build_tiles_span_gate_byte_identity(spark):
+    """Gate sweep: classify_min_cells=1 (classify everything) and a gate
+    high enough to null every row both produce bytes identical to the
+    default — code 0 is always-safe, so the gate can only shift work
+    between the classifier and the exact encode path."""
+    from grandine_spark.operators.tiling import build_tiles
+    from grandine_spark.sources import synth
+
+    feats = synth.features(spark, n_polygons=40, n_roads=20, n_pois=20)
+    zooms = [4, 9]
+    base = {
+        (r.tile_z, r.tile_x, r.tile_y): (r.n_features, bytes(r.tile))
+        for r in build_tiles(feats, zooms).collect()
+    }
+    for k in (1, 10**9):
+        alt = {
+            (r.tile_z, r.tile_x, r.tile_y): (r.n_features, bytes(r.tile))
+            for r in build_tiles(feats, zooms, classify_min_cells=k).collect()
+        }
+        assert alt == base and len(base) > 100, k
