@@ -403,6 +403,261 @@ def _assemble_polygons(soup) -> list[list[np.ndarray]]:
     return polys
 
 
+# ---------------------------------------------------------------------------
+# Flat-coordinate twin of the general polygon-clip path.
+#
+# clip_polygon's hot shape (measured on the z13 bench coverage rows) is a
+# single ring of 4-8 vertices clipped against ~1.7M tiles; the tuple-based
+# kernels above pay one tuple allocation per vertex per call plus tuple
+# compares in every dedup/stitch test. The _f twins below hold a ring as a
+# (xs, ys) pair of plain float lists — same control flow statement for
+# statement, same IEEE expressions in the same evaluation order, so outputs
+# are bit-identical (differ-enforced by tests/test_clip_fastpaths.py, the
+# clip goldens, and the tile-sha cross-check, all of which compare against
+# the tuple twins kept above).
+# ---------------------------------------------------------------------------
+
+
+def _pt_in_ring_f(px: float, py: float, xs: list, ys: list) -> bool:
+    """Flat twin of :func:`_pt_in_ring` (parity is edge-order independent)."""
+    inside = False
+    x1, y1 = xs[-1], ys[-1]
+    for x2, y2 in zip(xs, ys):
+        if (y1 > py) != (y2 > py):
+            if px < x1 + (py - y1) / (y2 - y1) * (x2 - x1):
+                inside = not inside
+        x1, y1 = x2, y2
+    return inside
+
+
+def _pt_on_ring_f(
+    px: float, py: float, xs: list, ys: list, eps: float = 1e-12
+) -> bool:
+    """Flat twin of :func:`_pt_on_ring` (a boolean any(), order independent)."""
+    x1, y1 = xs[-1], ys[-1]
+    for x2, y2 in zip(xs, ys):
+        if (
+            min(x1, x2) - eps <= px <= max(x1, x2) + eps
+            and min(y1, y2) - eps <= py <= max(y1, y2) + eps
+            and abs((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) <= eps
+        ):
+            return True
+        x1, y1 = x2, y2
+    return False
+
+
+def _ring_depth_f(i: int, soup: list) -> int:
+    """Flat twin of :func:`_ring_depth` — same first-usable-vertex rule."""
+    depth = 0
+    xi, yi = soup[i]
+    for j, (xj, yj) in enumerate(soup):
+        if j == i:
+            continue
+        for px, py in zip(xi, yi):
+            if not _pt_on_ring_f(px, py, xj, yj):
+                if _pt_in_ring_f(px, py, xj, yj):
+                    depth += 1
+                break
+    return depth
+
+
+def _area2_f(xs: list, ys: list) -> float:
+    """Flat twin of :func:`_ring_area2_pts` — identical summation order
+    (edges (0,1)..(n-1,0)), so the float result is bit-identical."""
+    s = 0.0
+    x1, y1 = xs[0], ys[0]
+    n = len(xs)
+    for i in range(1, n):
+        x2, y2 = xs[i], ys[i]
+        s += (x2 - x1) * (y2 + y1)
+        x1, y1 = x2, y2
+    s += (xs[0] - x1) * (ys[0] + y1)
+    return s
+
+
+def _cut_soup_f(soup: list, axis: int, v: float, sign: float) -> list:
+    """Flat twin of :func:`_cut_soup`: identical branch structure, sign
+    expressions, interpolation formulas, dedup tests, event ordering, and
+    parity stitching — point tuples replaced by componentwise compares."""
+    kept: list = []
+    chains: list = []  # (xs, ys), entry..exit
+
+    for xs, ys in soup:
+        cs = xs if axis == 0 else ys
+        s = [sign * (c - v) for c in cs]
+        if min(s) >= 0:
+            if max(s) > 0:
+                kept.append((xs, ys))
+            continue
+        if max(s) <= 0:
+            continue
+        n = len(s)
+        start = 0
+        while s[start] >= 0:
+            start += 1
+        cur_x: list | None = None
+        cur_y: list | None = None
+        any_strict = False
+        px_, py_, sp = xs[start], ys[start], s[start]
+        for k in range(1, n + 1):
+            ic = start + k
+            if ic >= n:
+                ic -= n
+            qx, qy, sc = xs[ic], ys[ic], s[ic]
+            if cur_x is None:
+                if sc >= 0:  # entering the keep side
+                    if sc == 0:
+                        cur_x, cur_y = [qx], [qy]
+                        any_strict = False
+                    else:
+                        t = sp / (sp - sc)
+                        if axis == 0:
+                            cpx, cpy = v, py_ + t * (qy - py_)
+                        else:
+                            cpx, cpy = px_ + t * (qx - px_), v
+                        if qx != cpx or qy != cpy:
+                            cur_x, cur_y = [cpx, qx], [cpy, qy]
+                        else:
+                            cur_x, cur_y = [cpx], [cpy]
+                        any_strict = True
+            else:
+                if sc >= 0:
+                    if qx != cur_x[-1] or qy != cur_y[-1]:
+                        cur_x.append(qx)
+                        cur_y.append(qy)
+                    if sc > 0:
+                        any_strict = True
+                else:  # exiting
+                    if sp == 0:
+                        cpx, cpy = px_, py_
+                    else:
+                        t = sp / (sp - sc)
+                        if axis == 0:
+                            cpx, cpy = v, py_ + t * (qy - py_)
+                        else:
+                            cpx, cpy = px_ + t * (qx - px_), v
+                    if cpx != cur_x[-1] or cpy != cur_y[-1]:
+                        cur_x.append(cpx)
+                        cur_y.append(cpy)
+                    if any_strict:
+                        chains.append((cur_x, cur_y))
+                    cur_x = cur_y = None
+                    any_strict = False
+            px_, py_, sp = qx, qy, sc
+
+    if not chains:
+        return kept
+    if len(chains) == 1:
+        cx, cy = chains[0]
+        if cx[0] == cx[-1] and cy[0] == cy[-1]:
+            cx.pop()
+            cy.pop()
+        if len(cx) >= 3:
+            kept.append((cx, cy))
+        return kept
+
+    events: list[tuple] = []
+    for cid, (cx, cy) in enumerate(chains):
+        if axis == 0:
+            events.append((-sign * cy[-1], 0, cid))
+            events.append((-sign * cy[0], 1, cid))
+        else:
+            events.append((sign * cx[-1], 0, cid))
+            events.append((sign * cx[0], 1, cid))
+    events.sort(key=lambda e: (e[0], e[1]))
+    next_chain: dict[int, int] = {}
+    pending_exits: list[int] = []
+    for _, kind, cid in events:
+        if kind == 0:
+            pending_exits.append(cid)
+        elif pending_exits:
+            next_chain[pending_exits.pop(0)] = cid
+    if pending_exits:
+        claimed = set(next_chain.values())
+        for _, kind, cid in events:
+            if kind == 1 and cid not in claimed and pending_exits:
+                next_chain[pending_exits.pop(0)] = cid
+                claimed.add(cid)
+
+    seen: set[int] = set()
+    for cid in range(len(chains)):
+        if cid in seen:
+            continue
+        rx: list = []
+        ry: list = []
+        c: int | None = cid
+        while c not in seen:
+            seen.add(c)
+            cx, cy = chains[c]
+            if rx and rx[-1] == cx[0] and ry[-1] == cy[0]:
+                rx.extend(cx[1:])
+                ry.extend(cy[1:])
+            else:
+                rx.extend(cx)
+                ry.extend(cy)
+            c = next_chain.get(c)
+            if c is None:
+                break
+        if rx and rx[0] == rx[-1] and ry[0] == ry[-1]:
+            rx.pop()
+            ry.pop()
+        if len(rx) >= 3:
+            kept.append((rx, ry))
+    return kept
+
+
+def _to_np_f(xs: list, ys: list) -> np.ndarray:
+    a = np.empty((len(xs), 2), np.float64)
+    a[:, 0] = xs
+    a[:, 1] = ys
+    return a
+
+
+def _assemble_polygons_f(soup: list) -> list[list[np.ndarray]]:
+    """Flat twin of :func:`_assemble_polygons` — same nesting/orientation."""
+    rings: list = []
+    areas: list[float] = []
+    for xs, ys in soup:
+        a2 = _area2_f(xs, ys)
+        if abs(a2) > _AREA_EPS:
+            rings.append((xs, ys))
+            areas.append(a2)
+    if not rings:
+        return []
+    if len(rings) == 1:
+        (xs, ys), a2 = rings[0], areas[0]
+        if a2 > 0:  # shell: CW
+            return [[_to_np_f(xs, ys)]]
+        return [[_to_np_f(xs[::-1], ys[::-1])]]
+    depths = [_ring_depth_f(i, rings) for i in range(len(rings))]
+    polys: list[list[np.ndarray]] = []
+    owner: dict[int, int] = {}
+    for i, (xs, ys) in enumerate(rings):
+        if depths[i] % 2 == 0:
+            owner[i] = len(polys)
+            if areas[i] > 0:
+                polys.append([_to_np_f(xs, ys)])
+            else:
+                polys.append([_to_np_f(xs[::-1], ys[::-1])])
+    for i, (xs, ys) in enumerate(rings):
+        if depths[i] % 2 == 1:
+            best, best_d = None, -1
+            for j in range(len(rings)):
+                if depths[j] % 2 == 0 and depths[j] < depths[i] and depths[j] > best_d:
+                    jx, jy = rings[j]
+                    for px, py in zip(xs, ys):
+                        if not _pt_on_ring_f(px, py, jx, jy):
+                            if _pt_in_ring_f(px, py, jx, jy):
+                                best, best_d = j, depths[j]
+                            break
+            if best is not None:
+                if areas[i] < 0:  # hole: CCW
+                    polys[owner[best]].append(_to_np_f(xs, ys))
+                else:
+                    polys[owner[best]].append(_to_np_f(xs[::-1], ys[::-1]))
+    return polys
+
+
 def _ring_border_intersects(ring, bbox, eps: float = 1e-7) -> bool:
     """Exact equivalent of ``line_intersections(ring, borders) != ∅`` (the
     reference's short-circuit test) with a vectorized prefilter: a segment
@@ -627,25 +882,45 @@ def clip_polygon(
 
     # general path: normalise the ring soup to the cut invariant (interior
     # locally left: counter-clockwise shells, clockwise holes), then four
-    # half-plane cuts, then nest/orient the surviving rings
+    # half-plane cuts, then nest/orient the surviving rings. Rings are held
+    # flat — (xs, ys) float-list pairs — see the _f twins above; consecutive
+    # -duplicate dedup against the previous ORIGINAL point equals dedup
+    # against the last KEPT point (a dropped point equals its predecessor,
+    # transitively the last kept), so the single-pass form is exact.
     soup = []
     boxes = []  # per-ring (minx, miny, maxx, maxy), maintained through cuts
     for ring in polygon:
-        pts = list(map(tuple, np.asarray(ring, np.float64).tolist()))
-        pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
-        if len(pts) > 1 and pts[0] == pts[-1]:
-            pts.pop()
-        if len(pts) >= 3:
-            soup.append(pts)
-            boxes.append(_pts_bbox(pts))
+        a = np.asarray(ring, np.float64)
+        if a.size == 0:
+            continue
+        rx = a[:, 0].tolist()
+        ry = a[:, 1].tolist()
+        kx, ky = [rx[0]], [ry[0]]
+        for i in range(1, len(rx)):
+            x, y = rx[i], ry[i]
+            if x != kx[-1] or y != ky[-1]:
+                kx.append(x)
+                ky.append(y)
+        if len(kx) > 1 and kx[0] == kx[-1] and ky[0] == ky[-1]:
+            kx.pop()
+            ky.pop()
+        if len(kx) >= 3:
+            soup.append((kx, ky))
+            boxes.append((min(kx), min(ky), max(kx), max(ky)))
     if not soup:
         return []
-    norm = []
-    for i, pts in enumerate(soup):
-        want_ccw = _ring_depth(i, soup) % 2 == 0
-        is_ccw = _ring_area2_pts(pts) < 0  # area2 > 0 = clockwise
-        norm.append(pts if is_ccw == want_ccw else pts[::-1])
-    soup = norm
+    if len(soup) == 1:
+        # lone ring: depth 0 → shell wants CCW (area2 < 0)
+        xs, ys = soup[0]
+        if _area2_f(xs, ys) >= 0:
+            soup = [(xs[::-1], ys[::-1])]
+    else:
+        norm = []
+        for i, (xs, ys) in enumerate(soup):
+            want_ccw = _ring_depth_f(i, soup) % 2 == 0
+            is_ccw = _area2_f(xs, ys) < 0  # area2 > 0 = clockwise
+            norm.append((xs, ys) if is_ccw == want_ccw else (xs[::-1], ys[::-1]))
+        soup = norm
     for axis, v, sign in (
         (0, minx, 1.0),
         (0, maxx, -1.0),
@@ -684,16 +959,16 @@ def clip_polygon(
                     continue
             mixed.append(pts)
         if mixed:
-            assembled = _cut_soup(mixed, axis, v, sign)
+            assembled = _cut_soup_f(mixed, axis, v, sign)
             soup = trivial + assembled
-            for p in assembled:
-                tboxes.append(_pts_bbox(p))
+            for xs, ys in assembled:
+                tboxes.append((min(xs), min(ys), max(xs), max(ys)))
         else:
             soup = trivial
         boxes = tboxes
         if not soup:
             return []
-    return _assemble_polygons(soup)
+    return _assemble_polygons_f(soup)
 
 
 def clip_geom(geom_type: int, coords, bbox, border_hit: bool | None = None):
