@@ -25,18 +25,42 @@ def _clamp(v: Column, lo: Column, hi: Column) -> Column:
     return F.greatest(F.least(v, hi), lo)
 
 
-def tile_x(lon: Column, zoom: int) -> Column:
-    """lon → tile x at ``zoom`` (lib/tile/tile.go:42-43), bigint."""
+def tile_x(lon: Column | str, zoom: int) -> Column:
+    """lon → tile x at ``zoom`` (lib/tile/tile.go:42-43), bigint.
+
+    A ``str`` argument (column name / SQL fragment) builds the identical
+    expression through ONE ``F.expr`` parse instead of ~40 py4j round-trips
+    of Column operators — plan construction for a multi-zoom coverage union
+    was >1s of driver wall purely in socket hops. Literals are embedded via
+    ``repr`` (round-trips doubles exactly), so both paths parse to the same
+    Catalyst tree and stay bitwise-identical (golden cross-checked)."""
     n = float(2.0**zoom)
     m = int(2**zoom) - 1
+    if isinstance(lon, str):
+        return F.expr(
+            f"CAST(greatest(least(floor((({lon}) + 180.0D) / 360.0D * "
+            f"{n!r}D), {m}L), 0L) AS BIGINT)"
+        )
     x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
     return _clamp(x, F.lit(0), F.lit(m)).cast("bigint")
 
 
-def tile_y(lat: Column, zoom: int) -> Column:
-    """lat → tile y at ``zoom`` (lib/tile/tile.go:44-45), bigint."""
+def tile_y(lat: Column | str, zoom: int) -> Column:
+    """lat → tile y at ``zoom`` (lib/tile/tile.go:44-45), bigint.
+
+    ``str`` argument: see :func:`tile_x` — one ``F.expr`` parse, same tree."""
     n = float(2.0**zoom)
     m = int(2**zoom) - 1
+    if isinstance(lat, str):
+        pi = repr(math.pi)
+        r = (
+            f"greatest(least({lat}, {WGS84_LAT_MAX!r}D), -{WGS84_LAT_MAX!r}D)"
+            f" * {pi}D / 180.0D"
+        )
+        return F.expr(
+            f"CAST(greatest(least(floor((1.0D - ln(tan({r}) + 1.0D / "
+            f"cos({r})) / {pi}D) / 2.0D * {n!r}D), {m}L), 0L) AS BIGINT)"
+        )
     lat_rad = (
         _clamp(lat, F.lit(-WGS84_LAT_MAX), F.lit(WGS84_LAT_MAX)) * F.lit(math.pi)
     ) / F.lit(180.0)
@@ -69,10 +93,15 @@ def cell_parent(cid: Column, z: int, parent_z: int) -> Column:
 
 
 def coverage_xy(
-    minx: Column, miny: Column, maxx: Column, maxy: Column, zoom: int
+    minx: Column | str,
+    miny: Column | str,
+    maxx: Column | str,
+    maxy: Column | str,
+    zoom: int,
 ) -> tuple[Column, Column, Column, Column]:
     """BBox → covering tile ranges (x1..x2, y1..y2), NW→SE
-    (lib/tile/bbox.go:5-21). Use with ``explode(sequence(...))``."""
+    (lib/tile/bbox.go:5-21). Use with ``explode(sequence(...))``.
+    ``str`` arguments take the one-parse ``F.expr`` path (see tile_x)."""
     return (
         tile_x(minx, zoom),
         tile_y(maxy, zoom),  # top-left y comes from the NORTH edge
@@ -85,7 +114,7 @@ def explode_coverage(df, zoom: int, minx="minx", miny="miny", maxx="maxx", maxy=
     """Explode each row into its covering (tile_x, tile_y) cells at ``zoom`` —
     the multi-cell replication step of the cell join (SURVEY.md J2/J4),
     entirely JVM-side via sequence+explode."""
-    x1, y1, x2, y2 = coverage_xy(F.col(minx), F.col(miny), F.col(maxx), F.col(maxy), zoom)
+    x1, y1, x2, y2 = coverage_xy(minx, miny, maxx, maxy, zoom)
     return (
         df.withColumn("tile_x", F.explode(F.sequence(x1, x2)))
         .withColumn("tile_y", F.explode(F.sequence(y1, y2)))

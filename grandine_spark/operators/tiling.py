@@ -335,9 +335,7 @@ def _coverage_via_anchors(
     no nested-loop joins, no duplicate pairs (anchors partition the plane).
     ``anchors`` columns: (ax bigint, ay bigint); az <= z required."""
     f = renderable_at(features, z)
-    fx1, fy1, fx2, fy2 = TX.coverage_xy(
-        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z
-    )
+    fx1, fy1, fx2, fy2 = TX.coverage_xy("minx", "miny", "maxx", "maxy", z)
     f = (
         f.withColumn("_fx1", fx1).withColumn("_fy1", fy1)
         .withColumn("_fx2", fx2).withColumn("_fy2", fy2)
@@ -386,19 +384,69 @@ def _routed_coverage(
     (measured at ~the full rebuild's cost on a 1% delta); with it the
     fine explode volume tracks the delta. Anchors are disjoint, so no
     duplicate (feature, cell) pairs."""
+    if anchor_cells is None:
+        # SINGLE-LEG full coverage: explode a zoom-array column and compute
+        # the tile ranges with zoom-as-a-column expressions instead of one
+        # union leg per zoom. pow(2.0, z) is IEEE-exact for integer z ≤ 29,
+        # so the dynamic ranges are bitwise-equal to the per-zoom-literal
+        # path (golden cross-checked); what changes is the PLAN — one
+        # whole-stage-codegen span instead of |zooms| legs, |zooms|× fewer
+        # driver round-trips and scheduler tasks, and a feature's coverage
+        # rows stay contiguous across ALL its zooms, so the classifier
+        # parses each WKB once per feature rather than once per (feature,
+        # zoom) leg.
+        zlist = ",".join(str(z) for z in zooms)
+        f = features.withColumn("tile_z", F.explode(F.expr(f"array({zlist})")))
+        zd = F.col("tile_z").cast("double")
+        zmin = F.coalesce(F.col("zoom_min").cast("double"), F.lit(0.0))
+        zmax = F.coalesce(F.col("zoom_max").cast("double"), F.lit(99.0))
+        f = f.filter((zd >= zmin) & (zd <= zmax))
+        nd = "pow(2.0D, CAST(tile_z AS DOUBLE))"
+        md = f"CAST({nd} - 1.0D AS BIGINT)"
+        pi = repr(3.141592653589793)
+        lm = repr(TX.WGS84_LAT_MAX)
+
+        def dyn_x(col: str) -> str:
+            return (
+                f"CAST(greatest(least(floor((({col}) + 180.0D) / 360.0D * "
+                f"{nd}), {md}), 0L) AS BIGINT)"
+            )
+
+        def dyn_y(col: str) -> str:
+            r = f"greatest(least({col}, {lm}D), -{lm}D) * {pi}D / 180.0D"
+            return (
+                f"CAST(greatest(least(floor((1.0D - ln(tan({r}) + 1.0D / "
+                f"cos({r})) / {pi}D) / 2.0D * {nd}), {md}), 0L) AS BIGINT)"
+            )
+
+        f = (
+            f.withColumn("_fx1", F.expr(dyn_x("minx")))
+            .withColumn("_fy1", F.expr(dyn_y("maxy")))  # NW y from the NORTH
+            .withColumn("_fx2", F.expr(dyn_x("maxx")))
+            .withColumn("_fy2", F.expr(dyn_y("miny")))  # SE y from the SOUTH
+        )
+        nc = (
+            (F.col("_fx2") - F.col("_fx1") + F.lit(1))
+            * (F.col("_fy2") - F.col("_fy1") + F.lit(1))
+        ).cast("long")
+        return (
+            f.withColumn("tile_x", F.explode(F.sequence("_fx1", "_fx2")))
+            .withColumn("tile_y", F.explode(F.sequence("_fy1", "_fy2")))
+            .withColumn("layer_name", TX.layer_route(F.col("props")))
+            .select(
+                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
+                "wkb", "props", nc.alias("_nc"),
+            )
+        )
+
     per_zoom = []
     for z in zooms:
-        if anchor_cells is not None:
-            if z not in anchor_cells:
-                continue  # no work cell at this zoom: skip the branch
-            az, anchors = anchor_cells[z]
-            cov = _coverage_via_anchors(features, z, az, anchors)
-        else:
-            cov = coverage_at(features, z)
+        if z not in anchor_cells:
+            continue  # no work cell at this zoom: skip the branch
+        az, anchors = anchor_cells[z]
+        cov = _coverage_via_anchors(features, z, az, anchors)
         cov = cov.withColumn("layer_name", TX.layer_route(F.col("props")))
-        fx1, fy1, fx2, fy2 = TX.coverage_xy(
-            F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), z
-        )
+        fx1, fy1, fx2, fy2 = TX.coverage_xy("minx", "miny", "maxx", "maxy", z)
         nc = ((fx2 - fx1 + F.lit(1)) * (fy2 - fy1 + F.lit(1))).cast("long")
         per_zoom.append(
             cov.select(
@@ -505,6 +553,18 @@ def build_tiles(
             "_cc",
             cls(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), gated_wkb),
         )
+        # Classified rows don't need their payload past this point: the
+        # encoder reads wkb ONLY on the exact path (_cc == 0) and never
+        # reads a provably-empty row's props (_cc == 2 skips before the
+        # props access; the rect-memo key uses _cc == 1 rows only). Nulling
+        # them here — before the tile shuffle — drops the duplicated WKB
+        # bytes of every interior (full-cover) coverage row from the
+        # exchange AND from the Arrow transfer into the encode UDF, which
+        # at deep zooms is most rows of every large polygon.
+        cc0 = F.coalesce(F.col("_cc"), F.lit(0))
+        all_cov = all_cov.withColumn(
+            "wkb", F.when(cc0 == 0, F.col("wkb"))
+        ).withColumn("props", F.when(cc0 != 2, F.col("props")))
     else:
         all_cov = all_cov.withColumn("_cc", F.lit(0).cast("tinyint"))
     all_cov = all_cov.drop("_nc")
