@@ -324,43 +324,6 @@ def _make_classifier(simplify: bool = False):
     return classify
 
 
-def _coverage_via_anchors(
-    features: DataFrame, z: int, az: int, anchors: DataFrame
-) -> DataFrame:
-    """Coverage of ``features`` at zoom ``z``, restricted to cells inside
-    the (disjoint) anchor cells at coarse zoom ``az`` — a two-level explode:
-    anchor cells (few per feature) → broadcast hash semi-join against the
-    changed anchors → fine cells clipped to each surviving anchor's extent.
-    All native exprs (sequence/explode/shift), one whole-stage-codegen span,
-    no nested-loop joins, no duplicate pairs (anchors partition the plane).
-    ``anchors`` columns: (ax bigint, ay bigint); az <= z required."""
-    f = renderable_at(features, z)
-    fx1, fy1, fx2, fy2 = TX.coverage_xy("minx", "miny", "maxx", "maxy", z)
-    f = (
-        f.withColumn("_fx1", fx1).withColumn("_fy1", fy1)
-        .withColumn("_fx2", fx2).withColumn("_fy2", fy2)
-    )
-    shift = z - az
-    # anchor range = fine range >> shift (cell nesting)
-    f = f.withColumn(
-        "ax", F.explode(F.sequence(F.shiftright("_fx1", shift), F.shiftright("_fx2", shift)))
-    ).withColumn(
-        "ay", F.explode(F.sequence(F.shiftright("_fy1", shift), F.shiftright("_fy2", shift)))
-    )
-    f = f.join(F.broadcast(anchors), ["ax", "ay"], "left_semi")
-    # fine cells inside this anchor ∩ the feature's own coverage range
-    lo_x = F.greatest(F.col("_fx1"), F.shiftleft("ax", shift))
-    hi_x = F.least(F.col("_fx2"), F.shiftleft(F.col("ax") + 1, shift) - 1)
-    lo_y = F.greatest(F.col("_fy1"), F.shiftleft("ay", shift))
-    hi_y = F.least(F.col("_fy2"), F.shiftleft(F.col("ay") + 1, shift) - 1)
-    return (
-        f.withColumn("tile_x", F.explode(F.sequence(lo_x, hi_x)))
-        .withColumn("tile_y", F.explode(F.sequence(lo_y, hi_y)))
-        .withColumn("tile_z", F.lit(z))
-        .drop("_fx1", "_fy1", "_fx2", "_fy2", "ax", "ay")
-    )
-
-
 def _routed_coverage(
     features: DataFrame,
     zooms: list[int],
@@ -383,83 +346,122 @@ def _routed_coverage(
     explode of the whole corpus runs just to be semi-joined away
     (measured at ~the full rebuild's cost on a 1% delta); with it the
     fine explode volume tracks the delta. Anchors are disjoint, so no
-    duplicate (feature, cell) pairs."""
-    if anchor_cells is None:
-        # SINGLE-LEG full coverage: explode a zoom-array column and compute
-        # the tile ranges with zoom-as-a-column expressions instead of one
-        # union leg per zoom. pow(2.0, z) is IEEE-exact for integer z ≤ 29,
-        # so the dynamic ranges are bitwise-equal to the per-zoom-literal
-        # path (golden cross-checked); what changes is the PLAN — one
-        # whole-stage-codegen span instead of |zooms| legs, |zooms|× fewer
-        # driver round-trips and scheduler tasks, and a feature's coverage
-        # rows stay contiguous across ALL its zooms, so the classifier
-        # parses each WKB once per feature rather than once per (feature,
-        # zoom) leg.
-        zlist = ",".join(str(z) for z in zooms)
-        f = features.withColumn("tile_z", F.explode(F.expr(f"array({zlist})")))
-        zd = F.col("tile_z").cast("double")
-        zmin = F.coalesce(F.col("zoom_min").cast("double"), F.lit(0.0))
-        zmax = F.coalesce(F.col("zoom_max").cast("double"), F.lit(99.0))
-        f = f.filter((zd >= zmin) & (zd <= zmax))
-        nd = "pow(2.0D, CAST(tile_z AS DOUBLE))"
-        md = f"CAST({nd} - 1.0D AS BIGINT)"
-        pi = repr(3.141592653589793)
-        lm = repr(TX.WGS84_LAT_MAX)
+    duplicate (feature, cell) pairs.
 
-        def dyn_x(col: str) -> str:
-            return (
-                f"CAST(greatest(least(floor((({col}) + 180.0D) / 360.0D * "
-                f"{nd}), {md}), 0L) AS BIGINT)"
-            )
+    BOTH modes are a SINGLE LEG: explode a zoom-array column and compute
+    tile ranges with zoom-as-a-column expressions instead of one union leg
+    per zoom. pow(2.0, z) is IEEE-exact for integer z ≤ 29, so the dynamic
+    ranges are bitwise-equal to the per-zoom-literal path (golden
+    cross-checked); what changes is the PLAN — one whole-stage-codegen
+    span instead of |zooms| legs, |zooms|× fewer driver round-trips and
+    scheduler tasks, and a feature's coverage rows stay contiguous across
+    ALL its zooms, so the classifier parses each WKB once per feature
+    rather than once per (feature, zoom) leg. For the incremental path the
+    leg fusion matters MORE: the 5-leg anchor plan cost ~2.8s of pure
+    driver py4j plan construction + JVM analysis of a 5-branch union per
+    run — fixed cost that dwarfed the delta-sized execution."""
+    if anchor_cells is not None:
+        zs = [z for z in zooms if z in anchor_cells]
+        if not zs:
+            return None
+    else:
+        zs = list(zooms)
 
-        def dyn_y(col: str) -> str:
-            r = f"greatest(least({col}, {lm}D), -{lm}D) * {pi}D / 180.0D"
-            return (
-                f"CAST(greatest(least(floor((1.0D - ln(tan({r}) + 1.0D / "
-                f"cos({r})) / {pi}D) / 2.0D * {nd}), {md}), 0L) AS BIGINT)"
-            )
+    zlist = ",".join(str(z) for z in zs)
+    f = features.withColumn("tile_z", F.explode(F.expr(f"array({zlist})")))
+    zd = F.col("tile_z").cast("double")
+    zmin = F.coalesce(F.col("zoom_min").cast("double"), F.lit(0.0))
+    zmax = F.coalesce(F.col("zoom_max").cast("double"), F.lit(99.0))
+    f = f.filter((zd >= zmin) & (zd <= zmax))
+    nd = "pow(2.0D, CAST(tile_z AS DOUBLE))"
+    md = f"CAST({nd} - 1.0D AS BIGINT)"
+    pi = repr(3.141592653589793)
+    lm = repr(TX.WGS84_LAT_MAX)
 
-        f = (
-            f.withColumn("_fx1", F.expr(dyn_x("minx")))
-            .withColumn("_fy1", F.expr(dyn_y("maxy")))  # NW y from the NORTH
-            .withColumn("_fx2", F.expr(dyn_x("maxx")))
-            .withColumn("_fy2", F.expr(dyn_y("miny")))  # SE y from the SOUTH
-        )
-        nc = (
-            (F.col("_fx2") - F.col("_fx1") + F.lit(1))
-            * (F.col("_fy2") - F.col("_fy1") + F.lit(1))
-        ).cast("long")
+    def dyn_x(col: str) -> str:
         return (
-            f.withColumn("tile_x", F.explode(F.sequence("_fx1", "_fx2")))
-            .withColumn("tile_y", F.explode(F.sequence("_fy1", "_fy2")))
-            .withColumn("layer_name", TX.layer_route(F.col("props")))
-            .select(
-                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
-                "wkb", "props", nc.alias("_nc"),
-            )
+            f"CAST(greatest(least(floor((({col}) + 180.0D) / 360.0D * "
+            f"{nd}), {md}), 0L) AS BIGINT)"
         )
 
-    per_zoom = []
-    for z in zooms:
-        if z not in anchor_cells:
-            continue  # no work cell at this zoom: skip the branch
-        az, anchors = anchor_cells[z]
-        cov = _coverage_via_anchors(features, z, az, anchors)
-        cov = cov.withColumn("layer_name", TX.layer_route(F.col("props")))
-        fx1, fy1, fx2, fy2 = TX.coverage_xy("minx", "miny", "maxx", "maxy", z)
-        nc = ((fx2 - fx1 + F.lit(1)) * (fy2 - fy1 + F.lit(1))).cast("long")
-        per_zoom.append(
-            cov.select(
-                "tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
-                "wkb", "props", nc.alias("_nc"),
-            )
+    def dyn_y(col: str) -> str:
+        r = f"greatest(least({col}, {lm}D), -{lm}D) * {pi}D / 180.0D"
+        return (
+            f"CAST(greatest(least(floor((1.0D - ln(tan({r}) + 1.0D / "
+            f"cos({r})) / {pi}D) / 2.0D * {nd}), {md}), 0L) AS BIGINT)"
         )
-    if not per_zoom:
-        return None
-    all_cov = per_zoom[0]
-    for p in per_zoom[1:]:
-        all_cov = all_cov.unionByName(p)
-    return all_cov
+
+    f = (
+        f.withColumn("_fx1", F.expr(dyn_x("minx")))
+        .withColumn("_fy1", F.expr(dyn_y("maxy")))  # NW y from the NORTH
+        .withColumn("_fx2", F.expr(dyn_x("maxx")))
+        .withColumn("_fy2", F.expr(dyn_y("miny")))  # SE y from the SOUTH
+    )
+    # _nc = the feature's PRE-restriction fan-out at this zoom (anchor and
+    # only_cells restriction must not change it — the classifier gate keys
+    # off the feature's true span, not the surviving row count)
+    nc = (
+        (F.col("_fx2") - F.col("_fx1") + F.lit(1))
+        * (F.col("_fy2") - F.col("_fy1") + F.lit(1))
+    ).cast("long")
+    f = f.withColumn("_nc", nc)
+
+    if anchor_cells is not None:
+        # anchor zoom per row (az = anchor_cells[z][0], a CASE over the
+        # handful of active zooms) → two-level explode with COLUMN shifts.
+        # Shift identities are exact integer math, so the surviving cells
+        # are identical to the old per-zoom-leg join; the anchors of every
+        # zoom ride ONE broadcast keyed by (tile_z, ax, ay).
+        az_case = (
+            "CASE tile_z "
+            + " ".join(f"WHEN {z} THEN {anchor_cells[z][0]}" for z in zs)
+            + " END"
+        )
+        f = f.withColumn("_sh", F.expr(f"CAST(tile_z - ({az_case}) AS INT)"))
+        f = f.withColumn(
+            "ax",
+            F.explode(
+                F.sequence(
+                    F.expr("shiftright(_fx1, _sh)"), F.expr("shiftright(_fx2, _sh)")
+                )
+            ),
+        ).withColumn(
+            "ay",
+            F.explode(
+                F.sequence(
+                    F.expr("shiftright(_fy1, _sh)"), F.expr("shiftright(_fy2, _sh)")
+                )
+            ),
+        )
+        anchors_all = None
+        for z in zs:
+            _, adf = anchor_cells[z]
+            a = adf.select(
+                F.lit(z).cast("int").alias("tile_z"), "ax", "ay"
+            )
+            anchors_all = a if anchors_all is None else anchors_all.unionByName(a)
+        f = f.join(F.broadcast(anchors_all), ["tile_z", "ax", "ay"], "left_semi")
+        # fine cells inside this anchor ∩ the feature's own coverage range
+        # (lo ≤ hi always: ax/ay came from the feature's own anchor range,
+        # so the anchor's extent intersects [_fx1, _fx2] × [_fy1, _fy2])
+        lo_x = F.greatest(F.col("_fx1"), F.expr("shiftleft(ax, _sh)"))
+        hi_x = F.least(F.col("_fx2"), F.expr("shiftleft(ax + 1L, _sh) - 1L"))
+        lo_y = F.greatest(F.col("_fy1"), F.expr("shiftleft(ay, _sh)"))
+        hi_y = F.least(F.col("_fy2"), F.expr("shiftleft(ay + 1L, _sh) - 1L"))
+        f = f.withColumn("tile_x", F.explode(F.sequence(lo_x, hi_x))).withColumn(
+            "tile_y", F.explode(F.sequence(lo_y, hi_y))
+        )
+    else:
+        f = f.withColumn("tile_x", F.explode(F.sequence("_fx1", "_fx2"))).withColumn(
+            "tile_y", F.explode(F.sequence("_fy1", "_fy2"))
+        )
+    return (
+        f.withColumn("layer_name", TX.layer_route(F.col("props")))
+        .select(
+            "tile_z", "tile_x", "tile_y", "feature_id", "layer_name",
+            "wkb", "props", "_nc",
+        )
+    )
 
 
 def build_tiles(
