@@ -477,7 +477,7 @@ def main():
             id_col="url",
             sep=" ",
         ).count(),
-        reps=1,
+        reps=2,
     )
     # self as-of join on the zipf-skewed domain key: each fetch gains the
     # previous fetch of the same domain (union + one shuffle + window)
@@ -496,7 +496,7 @@ def main():
             right_cols=["prev_url"],
             strict=True,
         ).count(),
-        reps=1,
+        reps=2,
     )
     # per-domain trajectory: geocoded fetches in time order, haversine length
     geo_sample = geocode_pages(sample.select("url", "warc_ts", "text"))
@@ -507,7 +507,7 @@ def main():
             key_col="domain",
             ts_col="warc_ts",
         ).count(),
-        reps=1,
+        reps=2,
     )
     # transitive closure over exact-dup pairs (the pairs→clusters step)
     cc_pairs = dedup_exact_pairs(dup_docs).select(
@@ -516,7 +516,7 @@ def main():
     timed(
         "cc_dedup_pairs",
         lambda: connected_components(cc_pairs).count(),
-        reps=1,
+        reps=2,
     )
     sample.unpersist()
 

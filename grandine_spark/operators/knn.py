@@ -49,48 +49,22 @@ from ..functions import tile_exprs as TX
 
 EARTH_R_M = 6371000.0
 MAX_HISTOGRAM_ZOOM = 10
+# adaptive refinement: each pass goes Δz=4 finer (16×16 subcells per
+# candidate cell), restricted to the previous pass's candidates — so each
+# restricted histogram collect is bounded by 4^REFINE_DZ · |candidates|
+REFINE_DZ = 4
+# finest refinement zoom (z14 ≈ 2.4 km cells) — also the zoom the point
+# index is cached at; every coarser histogram/probe key is a shiftright
+REFINE_MAX_ZOOM = 14
+# skip a refinement pass whose worst-case restricted histogram would
+# out-collect its own benefit
+REFINE_COLLECT_CAP = 250_000
 
 
-def knn(
-    points: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    zoom: int = 6,
-    max_radius: int | None = None,  # kept for API compat; unused
-    point_id: str = "url",
-    query_id: str = "q_id",
-) -> DataFrame:
-    """For each query (q_id, lon, lat): the k nearest points by haversine.
-    Returns (q_id, point_id, rank). Exact (equals brute force)."""
-    if zoom > MAX_HISTOGRAM_ZOOM:
-        raise ValueError(
-            f"knn join zoom {zoom} > {MAX_HISTOGRAM_ZOOM}: the cell histogram "
-            "must stay driver-collectable; use a coarser join zoom"
-        )
-    spark = points.sparkSession
-    n = 1 << zoom
-
-    pts = (
-        points.withColumn("p_cx", TX.tile_x(F.col("lon"), zoom))
-        .withColumn("p_cy", TX.tile_y(F.col("lat"), zoom))
-        .select(
-            F.col(point_id).alias("_pid"),
-            F.col("lon").alias("p_lon"),
-            F.col("lat").alias("p_lat"),
-            "p_cx",
-            "p_cy",
-        )
-        .cache()
-    )
-
-    # job 1: per-cell histogram — only nonempty cells come back
-    cells = pts.groupBy("p_cx", "p_cy").count().collect()
-    cx_arr = np.array([int(r.p_cx) for r in cells], dtype=np.int64)
-    cy_arr = np.array([int(r.p_cy) for r in cells], dtype=np.int64)
-    cnt_arr = np.array([int(r["count"]) for r in cells], dtype=np.int64)
-    total = int(cnt_arr.sum())
-
-    # cell edge geography (slippy-map inverse formulas, lib/tile/tile.go:19-31)
+def _cell_geo(cx_arr: np.ndarray, cy_arr: np.ndarray, n: int):
+    """Cell edge geography for a cell list at grid width ``n`` (slippy-map
+    inverse formulas, lib/tile/tile.go:19-31) → (west, east, lat_n, lat_s,
+    cos_min, cos_max) arrays for the decomposed haversine bounds."""
     west = cx_arr / n * 360.0 - 180.0
     east = (cx_arr + 1) / n * 360.0 - 180.0
     lat_n = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * cy_arr / n))))
@@ -101,25 +75,182 @@ def knn(
     spans_eq = (lat_s <= 0.0) & (lat_n >= 0.0)
     cos_max = np.where(spans_eq, 1.0, np.maximum(cos_n, cos_s))
     cos_min = np.minimum(cos_n, cos_s)
+    return west, east, lat_n, lat_s, cos_min, cos_max
 
-    qrows = queries.select(
-        F.col(query_id).alias("_qid"), F.col("lon"), F.col("lat")
-    ).collect()
 
+def _plan_probe(qrows, k, total, cx_arr, cy_arr, cnt_arr, n):
+    """Candidate cells per query over one histogram → (probe rows, estimated
+    joined-row volume = Σ per-query candidate point counts)."""
+    geo = _cell_geo(cx_arr, cy_arr, n)
     probe_rows: list[tuple] = []
+    est = 0
     for r in qrows:
         lon, lat = float(r.lon), float(r.lat)
         kk = min(k, total)
         if kk == 0:
             continue
         cand_ix, dist_ub = _candidate_cells(
-            lon, lat, kk, cx_arr, cy_arr, cnt_arr,
-            west, east, lat_n, lat_s, cos_min, cos_max,
+            lon, lat, kk, cx_arr, cy_arr, cnt_arr, *geo
         )
+        est += int(cnt_arr[cand_ix].sum())
         probe_rows += [
             (r._qid, lon, lat, int(cx_arr[i]), int(cy_arr[i]), dist_ub)
             for i in cand_ix
         ]
+    return probe_rows, est
+
+
+def knn(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    zoom: int = 6,
+    max_radius: int | None = None,  # kept for API compat; unused
+    point_id: str = "url",
+    query_id: str = "q_id",
+    refine_threshold: int | None = None,
+) -> DataFrame:
+    """For each query (q_id, lon, lat): the k nearest points by haversine.
+    Returns (q_id, point_id, rank). Exact (equals brute force).
+
+    ``zoom`` is purely a PERFORMANCE knob (the result is exact at any zoom),
+    and a coarse zoom over a clustered corpus makes candidate cells huge —
+    the bench corpus has 49 nonempty z6 cells for 5.1M points, so the probe
+    join materialized 30.7M rows only for the D-ball filter to drop ~97% of
+    them. When the planner's own volume estimate (Σ per-query candidate
+    point counts, free from the histogram) exceeds ``refine_threshold``
+    (default ``64·k·|queries|``), the planner REFINES: another histogram
+    Δz=REFINE_DZ finer, RESTRICTED to the current candidate cells (so its
+    collect is bounded by 4^Δz · |candidates|, delta-sized), re-plans every
+    query, and repeats while the estimate stays high — up to
+    REFINE_MAX_ZOOM (z14 ≈ 2.4 km cells).
+
+    Exactness of the restricted re-plan: a subcell's decomposed upper bound
+    never exceeds its parent's (its Δφ/Δλ/cos extremes are taken over a
+    sub-interval), so the fine k-th-distance bound D_f ≤ the coarse D_c;
+    any point within D_f is then within D_c, i.e. inside the candidate set
+    the fine histogram was restricted to — no true neighbor can hide
+    outside the restriction, and the argument chains across passes. The
+    union of ALL queries' candidates only adds cells to each query's fine
+    plan, which can only tighten D_f.
+    """
+    if zoom > MAX_HISTOGRAM_ZOOM:
+        raise ValueError(
+            f"knn join zoom {zoom} > {MAX_HISTOGRAM_ZOOM}: the cell histogram "
+            "must stay driver-collectable; use a coarser join zoom"
+        )
+    spark = points.sparkSession
+    n = 1 << zoom
+    zf = max(zoom, REFINE_MAX_ZOOM)
+    dz = zf - zoom
+
+    # index at the FINE zoom once; the coarse cell is a shiftright away
+    # (slippy cells nest exactly), so every histogram pass and either
+    # probe-join key derive from the same two columns. NOT cached here:
+    # the fast path below runs exactly two jobs over it, and a 5M-row
+    # cache write costs more than recomputing two native tile exprs per
+    # pass (callers keep their own cache of the expensive upstream plan);
+    # the multi-pass fallback adds a cache before it starts iterating.
+    pts = (
+        points.withColumn("p_cx", TX.tile_x(F.col("lon"), zf))
+        .withColumn("p_cy", TX.tile_y(F.col("lat"), zf))
+        .select(
+            F.col(point_id).alias("_pid"),
+            F.col("lon").alias("p_lon"),
+            F.col("lat").alias("p_lat"),
+            "p_cx",
+            "p_cy",
+        )
+    )
+    pts_cached = False
+
+    qrows = queries.select(
+        F.col(query_id).alias("_qid"), F.col("lon"), F.col("lat")
+    ).collect()
+
+    # job 1: try the FINEST histogram first, with a limit guard — a
+    # clustered corpus (the web-page norm: points pile into cities) has few
+    # nonempty z14 cells, so one collect buys the tightest bounds and skips
+    # every refinement scan. limit(cap+1) bounds the driver transfer: if it
+    # comes back complete (≤ cap rows, i.e. the limit didn't truncate), it
+    # IS the whole histogram; a wider-than-cap corpus falls back to the
+    # coarse histogram + iterative restricted refinement below.
+    fine_hist = (
+        pts.groupBy("p_cx", "p_cy")
+        .count()
+        .limit(REFINE_COLLECT_CAP + 1)
+        .collect()
+    )
+    if len(fine_hist) <= REFINE_COLLECT_CAP:
+        cx_arr = np.array([int(r.p_cx) for r in fine_hist], dtype=np.int64)
+        cy_arr = np.array([int(r.p_cy) for r in fine_hist], dtype=np.int64)
+        cnt_arr = np.array(
+            [int(r["count"]) for r in fine_hist], dtype=np.int64
+        )
+        total = int(cnt_arr.sum())
+        probe_rows, est = _plan_probe(
+            qrows, k, total, cx_arr, cy_arr, cnt_arr, 1 << zf
+        )
+        probe_z = zf
+    else:
+        # corpus too spread for a zf histogram: coarse pass at the caller's
+        # zoom (≤ MAX_HISTOGRAM_ZOOM keeps this collectable). This path
+        # runs ≥2 more jobs over the index (coarse histogram, possible
+        # refinement passes, probe) — cache it now.
+        pts = pts.cache()
+        pts_cached = True
+        cells = (
+            pts.groupBy(
+                F.shiftright("p_cx", dz).alias("c_cx"),
+                F.shiftright("p_cy", dz).alias("c_cy"),
+            )
+            .count()
+            .collect()
+        )
+        cx_arr = np.array([int(r.c_cx) for r in cells], dtype=np.int64)
+        cy_arr = np.array([int(r.c_cy) for r in cells], dtype=np.int64)
+        cnt_arr = np.array([int(r["count"]) for r in cells], dtype=np.int64)
+        total = int(cnt_arr.sum())
+        probe_rows, est = _plan_probe(
+            qrows, k, total, cx_arr, cy_arr, cnt_arr, n
+        )
+        probe_z = zoom
+
+    if refine_threshold is None:
+        refine_threshold = 64 * k * max(1, len(qrows))
+    while probe_z < zf and probe_rows and est > refine_threshold:
+        # refinement pass: histogram Δz finer, RESTRICTED to the current
+        # candidate cells, then re-plan — candidate sets shrink with D, so
+        # each pass's collect stays delta-sized
+        nz = min(probe_z + REFINE_DZ, zf)
+        parents = sorted({(r[3] << 32) | r[4] for r in probe_rows})
+        if len(parents) << (2 * (nz - probe_z)) > REFINE_COLLECT_CAP:
+            break  # worst-case restricted histogram too wide to pay for
+        sh_parent = zf - probe_z
+        sh_new = zf - nz
+        # + not |: PySpark's Column | is boolean OR; the low 32 bits are
+        # clear after the shiftleft, so addition composes the same key
+        packed = F.shiftleft(
+            F.shiftright("p_cx", sh_parent), 32
+        ) + F.shiftright("p_cy", sh_parent)
+        fine = (
+            pts.filter(packed.isin(parents))
+            .groupBy(
+                F.shiftright("p_cx", sh_new).alias("f_cx"),
+                F.shiftright("p_cy", sh_new).alias("f_cy"),
+            )
+            .count()
+            .collect()
+        )
+        cx_arr = np.array([int(r.f_cx) for r in fine], dtype=np.int64)
+        cy_arr = np.array([int(r.f_cy) for r in fine], dtype=np.int64)
+        cnt_arr = np.array([int(r["count"]) for r in fine], dtype=np.int64)
+        # total stays the CORPUS total: kk = min(k, total) must not shrink
+        # to the restricted subset's size
+        probe_rows, est = _plan_probe(
+            qrows, k, total, cx_arr, cy_arr, cnt_arr, 1 << nz
+        )
+        probe_z = nz
 
     # the probe carries the query id in its NATIVE type — hardcoding 'long'
     # here crashed any string/decimal query-id column at createDataFrame
@@ -130,6 +261,15 @@ def knn(
         " p_cx long, p_cy long, q_d double",
     )
 
+    # join key at the probe's zoom: the cached index is at zf, a coarse
+    # probe (no refinement) keys on the shiftright-derived parent cells
+    join_pts = pts
+    if probe_z < zf:
+        d = zf - probe_z
+        join_pts = pts.withColumn("p_cx", F.shiftright("p_cx", d)).withColumn(
+            "p_cy", F.shiftright("p_cy", d)
+        )
+
     # job 2: the one probe join + per-query top-k. The planner's D is a
     # PROVEN upper bound on the k-th neighbor distance (≥ k points lie
     # within it), so candidates beyond D can be dropped before the top-k
@@ -137,7 +277,7 @@ def knn(
     # window's sort input to the ball itself.
     cand = (
         F.broadcast(probe)
-        .join(pts, ["p_cx", "p_cy"])
+        .join(join_pts, ["p_cx", "p_cy"])
         .select(
             "_qid",
             "_pid",
@@ -167,10 +307,11 @@ def knn(
         F.col("_pid").cast(pid_type).alias(point_id),
         "rank",
     )
-    # top-k is tiny (|queries|·k rows): materialize it so the big cached
-    # point index can be released before returning
+    # top-k is tiny (|queries|·k rows): materialize it so a cached point
+    # index can be released before returning
     out = out.localCheckpoint(eager=True)
-    pts.unpersist()
+    if pts_cached:
+        pts.unpersist()
     return out
 
 
