@@ -109,6 +109,7 @@ def knn(
     point_id: str = "url",
     query_id: str = "q_id",
     refine_threshold: int | None = None,
+    fine_first: bool = True,
 ) -> DataFrame:
     """For each query (q_id, lon, lat): the k nearest points by haversine.
     Returns (q_id, point_id, rank). Exact (equals brute force).
@@ -175,13 +176,18 @@ def knn(
     # comes back complete (≤ cap rows, i.e. the limit didn't truncate), it
     # IS the whole histogram; a wider-than-cap corpus falls back to the
     # coarse histogram + iterative restricted refinement below.
+    # ``fine_first=False`` forces the fallback (tests exercise both paths).
     fine_hist = (
-        pts.groupBy("p_cx", "p_cy")
-        .count()
-        .limit(REFINE_COLLECT_CAP + 1)
-        .collect()
+        (
+            pts.groupBy("p_cx", "p_cy")
+            .count()
+            .limit(REFINE_COLLECT_CAP + 1)
+            .collect()
+        )
+        if fine_first
+        else None
     )
-    if len(fine_hist) <= REFINE_COLLECT_CAP:
+    if fine_hist is not None and len(fine_hist) <= REFINE_COLLECT_CAP:
         cx_arr = np.array([int(r.p_cx) for r in fine_hist], dtype=np.int64)
         cy_arr = np.array([int(r.p_cy) for r in fine_hist], dtype=np.int64)
         cnt_arr = np.array(

@@ -366,3 +366,90 @@ def test_knn_polar_and_dateline_matches_bruteforce(spark):
         .filter(F.col("rank") <= 5).collect()
     }
     assert got == exp
+
+
+def _bf_topk(spark, pts, queries, k):
+    """Brute-force oracle: per-query top-k by (haversine, id)."""
+    from pyspark.sql import Window
+
+    bf = (
+        queries.crossJoin(
+            pts.select(
+                F.col(pts.columns[0]).alias("_pid"),
+                F.col("lon").alias("plon"),
+                F.col("lat").alias("plat"),
+            )
+        ).select(
+            "q_id", "_pid",
+            TX.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("plon"), F.col("plat")
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("_pid").asc())
+    return {
+        (r.q_id, r.rank): r._pid
+        for r in bf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k).collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 47])
+def test_knn_coarse_fallback_matches_bruteforce(spark, seed):
+    """``fine_first=False`` forces the coarse-histogram path (the plan a
+    wider-than-REFINE_COLLECT_CAP corpus takes): seeded clustered + spread
+    clouds must still equal brute force exactly."""
+    import random
+
+    rnd = random.Random(seed)
+    # two dense city blobs + worldwide scatter — the clustered shape that
+    # makes coarse candidate cells fat
+    rows = (
+        [(f"a{i}", 13.4 + rnd.gauss(0, 0.02), 52.5 + rnd.gauss(0, 0.02))
+         for i in range(120)]
+        + [(f"b{i}", -74.0 + rnd.gauss(0, 0.02), 40.7 + rnd.gauss(0, 0.02))
+           for i in range(120)]
+        + [(f"s{i}", rnd.uniform(-180, 180), rnd.uniform(-80, 80))
+           for i in range(60)]
+    )
+    pts = spark.createDataFrame(rows, "url string, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(0, 13.41, 52.51), (1, -74.01, 40.69), (2, 100.0, 10.0),
+         (3, -179.9, -70.0)],
+        "q_id int, lon double, lat double",
+    )
+    got = {
+        (r.q_id, r.rank): r.url
+        for r in knn(
+            pts, queries, k=6, zoom=5, fine_first=False
+        ).collect()
+    }
+    assert got == _bf_topk(spark, pts, queries, 6)
+
+
+def test_knn_iterative_refinement_matches_bruteforce(spark):
+    """``fine_first=False`` + ``refine_threshold=0`` drives the restricted
+    refinement LOOP all the way from the caller zoom to REFINE_MAX_ZOOM
+    (the multi-pass path a huge clustered corpus takes): exactness of the
+    chained candidate-restricted re-plans vs brute force."""
+    import random
+
+    rnd = random.Random(99)
+    rows = (
+        [(f"c{i}", 2.35 + rnd.gauss(0, 0.01), 48.85 + rnd.gauss(0, 0.01))
+         for i in range(200)]
+        + [(f"d{i}", 139.7 + rnd.gauss(0, 0.01), 35.7 + rnd.gauss(0, 0.01))
+           for i in range(200)]
+    )
+    pts = spark.createDataFrame(rows, "url string, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(0, 2.36, 48.86), (1, 139.69, 35.71), (2, 70.0, 42.0)],
+        "q_id int, lon double, lat double",
+    )
+    got = {
+        (r.q_id, r.rank): r.url
+        for r in knn(
+            pts, queries, k=7, zoom=4, fine_first=False, refine_threshold=0
+        ).collect()
+    }
+    assert got == _bf_topk(spark, pts, queries, 7)
