@@ -342,3 +342,62 @@ def test_tile_pixels_lie_inside_source_polygon(spark):
                                     unmerc(mx, my))
                         checked += 1
     assert checked > 50, f"too few interior pixels sampled ({checked})"
+
+
+@pytest.mark.parametrize("seed", [11, 202])
+def test_anchor_coverage_equals_restricted_full_coverage(spark, seed):
+    """Direct property for the fused single-leg anchor coverage: for random
+    features and random anchor sets, _routed_coverage(anchor mode) must
+    produce EXACTLY the rows of full coverage whose cell's ancestor at the
+    anchor zoom is a chosen anchor — pins the dynamic zoom-as-a-column
+    shift/CASE expressions against the definitional restriction (the
+    byte-identity tests cover end-to-end; this isolates the coverage
+    stage)."""
+    import random
+
+    from grandine_spark.operators.tiling import _routed_coverage
+
+    rnd = random.Random(seed)
+    feats = synth.features(spark, n_polygons=25, n_roads=10, n_pois=15)
+    zooms = [3, 6, 9, 11]
+
+    full = _routed_coverage(feats, zooms, None)
+    full_rows = [
+        (r.tile_z, r.tile_x, r.tile_y, r.feature_id, r.layer_name, r._nc)
+        for r in full.select(
+            "tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "_nc"
+        ).collect()
+    ]
+
+    # random anchors: sample ancestors of actual coverage cells (so the
+    # restriction is non-trivially non-empty) at az = min(z, 5)
+    anchor_of: dict[int, set] = {}
+    for z, x, y, *_ in full_rows:
+        az = min(z, 5)
+        if rnd.random() < 0.3:
+            anchor_of.setdefault(z, set()).add((x >> (z - az), y >> (z - az)))
+    anchors = {
+        z: (
+            min(z, 5),
+            spark.createDataFrame(sorted(cells), "ax bigint, ay bigint"),
+        )
+        for z, cells in anchor_of.items()
+    }
+
+    got = {
+        (r.tile_z, r.tile_x, r.tile_y, r.feature_id, r.layer_name, r._nc)
+        for r in _routed_coverage(feats, zooms, anchors)
+        .select("tile_z", "tile_x", "tile_y", "feature_id", "layer_name", "_nc")
+        .collect()
+    }
+    want = {
+        row
+        for row in full_rows
+        if row[0] in anchor_of
+        and (
+            row[1] >> (row[0] - min(row[0], 5)),
+            row[2] >> (row[0] - min(row[0], 5)),
+        )
+        in anchor_of[row[0]]
+    }
+    assert got == want and len(want) > 0
