@@ -8,8 +8,9 @@ Spark-first:
       → layer routing                    (native coalesce, tiler.go:300-312)
       → groupBy(z, x, y)                 (the shuffle replaces the shared-
                                           memory FeatureCache index)
-      → applyInPandas(encode tile)       (project→clip→merge→MVT protobuf,
-                                          lib/mvt/codec.go:57-198)
+      → mapInArrow(encode tiles)         (project→clip→merge→MVT protobuf,
+                                          lib/mvt/codec.go:57-198; columnar
+                                          batch access, whole tiles only)
       → tiles table (z, x, y, tile binary [, gzip])
 
 Skew: the reference randomizes its tile worklist (cmd/tiler/shuffle.go:11-15)
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import tile_exprs as TX
-from ..kernels.mvt import encode_tile, gzip_tile
+from ..kernels.mvt import gzip_tile
 from ..kernels.wkb import from_wkb
 
 TILES_SCHEMA = T.StructType(
@@ -140,157 +141,229 @@ def _encode_tile_geojson(by_layer: dict, x: int, y: int, z: int) -> bytes | None
 _RECT_TILE_CACHE: dict = {}
 
 
-def _make_encoder_fn(gzip: bool, simplify: bool, codec: str):
-    """The raw (undecorated) batch-encode function behind the scalar pandas
-    UDF — exposed separately so scripts/profile_encode.py can run the exact
-    executor code path serially under cProfile."""
+def _encode_tiles_flat(
+    z_arr,
+    x_arr,
+    y_arr,
+    lengths,
+    n_total,
+    fid,
+    layer_idx,
+    layer_dict,
+    wkb_list,
+    props_list,
+    cc,
+    gzip: bool,
+    simplify: bool,
+    codec: str,
+):
+    """Core tile encode over COLUMNAR per-tile slices — the executor body
+    behind the mapInArrow encoder (and scripts/profile_encode.py, which
+    feeds it parquet record batches serially).
 
-    def encode_batch(
-        zs: pd.Series, xs: pd.Series, ys: pd.Series, feats: pd.Series
-    ) -> pd.DataFrame:
-        from ..kernels import mvt_batch
-        from ..kernels.geometry import simplify_rdp
-        from ..kernels.tilemath import resolution
+    Inputs are the flattened children of the grouped ``feats`` list column
+    plus per-tile ``lengths``: feature ids and _cc as numpy arrays, layer
+    names dictionary-encoded (indices + a small id→str table), wkb/props as
+    per-row python lists (None where the pre-shuffle payload nulling
+    dropped them). Versus the former Series-of-struct-dicts input this
+    skips materializing a dict per (feature, tile) row — measured ~2.4M
+    dict+key objects per z13 rebuild batch wave — and sorts each tile's
+    rows with a numpy argsort instead of a Python sorted().
 
-        # INTERIOR-TILE MEMO: a tile whose surviving features are ALL
-        # pre-classified full-cover rectangles encodes to bytes that do not
-        # depend on (x, y, z) at all — geometry is the tile-local clip-mask
-        # rect, layers/tags depend only on (layer, props) in sorted-id
-        # order. Deep-zoom interiors of the same polygon are thousands of
-        # such tiles; one encode serves them all. Worker-process scoped,
-        # size-capped (encode stays correct on any hit rate).
-        rect_cache: dict = _RECT_TILE_CACHE
+    Returns (n_out, buf_out) aligned to the input tiles; buf None where the
+    tile encodes to nothing.
+    """
+    import numpy as np
 
-        # per-batch parse + projection memos: the same feature's wkb appears
-        # in EVERY tile it covers within the batch (the shuffle hashes on
-        # tile keys, but groups of neighboring tiles share their features),
-        # and the mercator projection does not depend on the tile at all —
-        # only the cheap affine into pixel space does (mvt.tile_affine_np).
-        parse_memo: dict = {}  # wkb -> (gt, coords)
-        merc_memo: dict = {}  # (wkb, eps|None) -> (gt, coords', merc)
+    from ..kernels import mvt_batch
+    from ..kernels.geometry import simplify_rdp
+    from ..kernels.tilemath import resolution
 
-        def feat_for(w: bytes, eps, props: dict) -> dict:
-            mkey = (w, eps)
-            ent = merc_memo.get(mkey)
-            if ent is None:
-                parsed = parse_memo.get(w)
-                if parsed is None:
-                    parsed = parse_memo[w] = from_wkb(w)
-                gt, coords = parsed
-                if eps is not None and gt == 2:
-                    coords = simplify_rdp(coords, eps)
-                merc = mvt_batch.mercator_of(gt, coords)
-                ent = merc_memo[mkey] = (gt, coords, merc)
-            gt, coords, merc = ent
-            return {"geom_type": gt, "coords": coords, "merc": merc, "props": props}
+    # INTERIOR-TILE MEMO: a tile whose surviving features are ALL
+    # pre-classified full-cover rectangles encodes to bytes that do not
+    # depend on (x, y, z) at all — geometry is the tile-local clip-mask
+    # rect, layers/tags depend only on (layer, props) in sorted-id
+    # order. Deep-zoom interiors of the same polygon are thousands of
+    # such tiles; one encode serves them all. Worker-process scoped,
+    # size-capped (encode stays correct on any hit rate).
+    rect_cache: dict = _RECT_TILE_CACHE
 
-        # slot per input tile: either finished bytes (rect-memo hit /
-        # geojson codec) or an index into the batched-MVT work list
-        n_out: list[int] = []
-        buf_out: list = []
-        mvt_work: list = []  # (z, x, y, by_layer)
-        mvt_slots: list[int] = []  # buf_out index per work item
-        mvt_keys: list = []  # rect-memo key per work item (or None)
-        for z, x, y, group in zip(zs, xs, ys, feats):
-            z, x, y = int(z), int(x), int(y)
-            eps = resolution(z, 4096) if simplify else None
-            # deterministic order regardless of shuffle arrival
-            rows = sorted(group, key=lambda r: r["feature_id"])
-            key = None
-            if all(int(r["_cc"] or 0) != 0 for r in rows):
-                # codec/gzip in the key: the memo is module-scoped and
-                # shared across encoder configurations
-                key = (codec, gzip) + tuple(
-                    (
-                        r["layer_name"],
-                        tuple(sorted(r["props"].items())) if r["props"] else (),
-                    )
-                    for r in rows
-                    if int(r["_cc"] or 0) == 1
+    # per-batch parse + projection memos: the same feature's wkb appears
+    # in EVERY tile it covers within the batch (the shuffle hashes on
+    # tile keys, but groups of neighboring tiles share their features),
+    # and the mercator projection does not depend on the tile at all —
+    # only the cheap affine into pixel space does (mvt.tile_affine_np).
+    parse_memo: dict = {}  # wkb -> (gt, coords)
+    merc_memo: dict = {}  # (wkb, eps|None) -> (gt, coords', merc)
+
+    def feat_for(w: bytes, eps, props: dict) -> dict:
+        mkey = (w, eps)
+        ent = merc_memo.get(mkey)
+        if ent is None:
+            parsed = parse_memo.get(w)
+            if parsed is None:
+                parsed = parse_memo[w] = from_wkb(w)
+            gt, coords = parsed
+            if eps is not None and gt == 2:
+                coords = simplify_rdp(coords, eps)
+            merc = mvt_batch.mercator_of(gt, coords)
+            ent = merc_memo[mkey] = (gt, coords, merc)
+        gt, coords, merc = ent
+        return {"geom_type": gt, "coords": coords, "merc": merc, "props": props}
+
+    # slot per input tile: either finished bytes (rect-memo hit /
+    # geojson codec) or an index into the batched-MVT work list
+    n_out: list[int] = []
+    buf_out: list = []
+    mvt_work: list = []  # (z, x, y, by_layer)
+    mvt_slots: list[int] = []  # buf_out index per work item
+    mvt_keys: list = []  # rect-memo key per work item (or None)
+    pos = 0
+    for ti in range(len(z_arr)):
+        ln = int(lengths[ti])
+        s = pos
+        pos += ln
+        z, x, y = int(z_arr[ti]), int(x_arr[ti]), int(y_arr[ti])
+        eps = resolution(z, 4096) if simplify else None
+        # deterministic order regardless of shuffle arrival (stable argsort
+        # = the scalar path's stable sorted(key=feature_id))
+        idx = s + np.argsort(fid[s : s + ln], kind="stable")
+        key = None
+        if bool((cc[idx] != 0).all()):
+            # codec/gzip in the key: the memo is module-scoped and
+            # shared across encoder configurations
+            key = (codec, gzip) + tuple(
+                (
+                    layer_dict[layer_idx[i]],
+                    tuple(sorted(props_list[i])) if props_list[i] else (),
                 )
-                if key in rect_cache:
-                    n_out.append(len(rows))
-                    buf_out.append(rect_cache[key])
-                    continue
-            by_layer: dict[str, list[dict]] = {}
-            for row in rows:
-                # _cc: the vectorized pre-classification (kernels/coverclass):
-                # 2 = provably contributes nothing to this tile (the exact
-                # clip would return []); 1 = provably the full-tile rectangle
-                # (skip parse+project+clip, the codec emits it directly);
-                # 0 = the exact path decides. Byte-identical by construction.
-                cc = int(row["_cc"]) if row.get("_cc") is not None else 0
-                if cc == 2:
-                    continue
-                props = dict(row["props"]) if row["props"] is not None else {}
-                if cc == 1:
-                    by_layer.setdefault(row["layer_name"], []).append(
-                        {"geom_type": 3, "coords": None, "cc": 1, "props": props}
-                    )
-                    continue
-                by_layer.setdefault(row["layer_name"], []).append(
-                    feat_for(bytes(row["wkb"]), eps, props)
-                )
-            if codec == "geojson":
-                buf = _encode_tile_geojson(by_layer, x, y, z)
-                if buf is not None and gzip:
-                    buf = gzip_tile(buf)
-                if key is not None:
-                    if len(rect_cache) > 100_000:
-                        rect_cache.clear()
-                    rect_cache[key] = buf
-                n_out.append(len(rows))
-                buf_out.append(buf)
+                for i in idx
+                if cc[i] == 1
+            )
+            if key in rect_cache:
+                n_out.append(int(n_total[ti]))
+                buf_out.append(rect_cache[key])
                 continue
-            mvt_slots.append(len(buf_out))
-            mvt_keys.append(key)
-            n_out.append(len(rows))
-            buf_out.append(None)
-            mvt_work.append((z, x, y, by_layer))
+        by_layer: dict[str, list[dict]] = {}
+        for i in idx:
+            # _cc: the vectorized pre-classification (kernels/coverclass):
+            # 2 = provably contributes nothing to this tile (the exact
+            # clip would return []); 1 = provably the full-tile rectangle
+            # (skip parse+project+clip, the codec emits it directly);
+            # 0 = the exact path decides. Byte-identical by construction.
+            c = cc[i]
+            if c == 2:
+                continue
+            p = props_list[i]
+            props = dict(p) if p is not None else {}
+            lname = layer_dict[layer_idx[i]]
+            if c == 1:
+                by_layer.setdefault(lname, []).append(
+                    {"geom_type": 3, "coords": None, "cc": 1, "props": props}
+                )
+                continue
+            by_layer.setdefault(lname, []).append(
+                feat_for(wkb_list[i], eps, props)
+            )
+        if codec == "geojson":
+            buf = _encode_tile_geojson(by_layer, x, y, z)
+            if buf is not None and gzip:
+                buf = gzip_tile(buf)
+            if key is not None:
+                if len(rect_cache) > 100_000:
+                    rect_cache.clear()
+                rect_cache[key] = buf
+            n_out.append(int(n_total[ti]))
+            buf_out.append(buf)
+            continue
+        mvt_slots.append(len(buf_out))
+        mvt_keys.append(key)
+        n_out.append(int(n_total[ti]))
+        buf_out.append(None)
+        mvt_work.append((z, x, y, by_layer))
 
-        if mvt_work:
-            # batch-wide MVT encode (kernels/mvt_batch): command weave and
-            # varint emission vectorized across every tile of the Arrow
-            # batch; byte-identical to mvt.encode_tile per tile
-            bufs = mvt_batch.encode_tiles_mvt(mvt_work)
-            for slot, key, buf in zip(mvt_slots, mvt_keys, bufs):
-                if buf is not None and gzip:
-                    buf = gzip_tile(buf)
-                if key is not None:
-                    if len(rect_cache) > 100_000:
-                        rect_cache.clear()
-                    rect_cache[key] = buf
-                buf_out[slot] = buf
-        return pd.DataFrame(
-            {"n_features": pd.array(n_out, dtype="int32"), "tile": buf_out}
+    if mvt_work:
+        # batch-wide MVT encode (kernels/mvt_batch): command weave and
+        # varint emission vectorized across every tile of the Arrow
+        # batch; byte-identical to mvt.encode_tile per tile
+        bufs = mvt_batch.encode_tiles_mvt(mvt_work)
+        for slot, key, buf in zip(mvt_slots, mvt_keys, bufs):
+            if buf is not None and gzip:
+                buf = gzip_tile(buf)
+            if key is not None:
+                if len(rect_cache) > 100_000:
+                    rect_cache.clear()
+                rect_cache[key] = buf
+            buf_out[slot] = buf
+    return n_out, buf_out
+
+
+def _encode_record_batch(batch, gzip: bool, simplify: bool, codec: str):
+    """One grouped-RecordBatch (tile_z, tile_x, tile_y, feats list<struct>)
+    → one TILES_SCHEMA RecordBatch (null tiles dropped). Columnar
+    extraction: the struct children come out as flat arrays — layer names
+    dictionary-encoded (a handful of distinct values per batch), wkb/props
+    converted once per CHILD column (cheap for the payload-nulled majority)
+    — instead of one python dict per (feature, tile) row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n:
+        z_arr = batch.column("tile_z").to_numpy(zero_copy_only=False)
+        x_arr = batch.column("tile_x").to_numpy(zero_copy_only=False)
+        y_arr = batch.column("tile_y").to_numpy(zero_copy_only=False)
+        feats = batch.column("feats")
+        n_total = batch.column("n_total").to_numpy(zero_copy_only=False)
+        lengths = feats.value_lengths().to_numpy(zero_copy_only=False)
+        vals = feats.flatten()
+        fid = vals.field("feature_id").to_numpy(zero_copy_only=False)
+        ld = pc.dictionary_encode(vals.field("layer_name"))
+        layer_idx = ld.indices.to_numpy(zero_copy_only=False)
+        layer_dict = ld.dictionary.to_pylist()
+        wkb_list = vals.field("wkb").to_pylist()
+        props_list = vals.field("props").to_pylist()
+        cc = (
+            pc.fill_null(vals.field("_cc"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int8, copy=False)
         )
-
-    return encode_batch
-
-
-def _make_batched_encoder(gzip: bool, simplify: bool, codec: str):
-    """Scalar pandas UDF encoding MANY tiles per Arrow batch.
-
-    applyInPandas pays per-GROUP overhead (one pandas frame + one Python
-    call per tile); with the typical tile holding a handful of features
-    that overhead dominates. collect_list + a scalar UDF amortizes it:
-    one Python call per Arrow batch of tiles (~100s of tiles), same bytes."""
-    from pyspark.sql.functions import pandas_udf
-
-    result_t = T.StructType(
+        n_out, buf_out = _encode_tiles_flat(
+            z_arr, x_arr, y_arr, lengths, n_total, fid, layer_idx,
+            layer_dict, wkb_list, props_list, cc, gzip, simplify, codec,
+        )
+        keep = [i for i, b in enumerate(buf_out) if b is not None]
+    else:
+        z_arr = x_arr = y_arr = np.zeros(0, np.int64)
+        n_out, buf_out, keep = [], [], []
+    return pa.RecordBatch.from_arrays(
         [
-            T.StructField("n_features", T.IntegerType()),
-            T.StructField("tile", T.BinaryType()),
-        ]
+            pa.array([int(z_arr[i]) for i in keep], pa.int32()),
+            pa.array([int(x_arr[i]) for i in keep], pa.int64()),
+            pa.array([int(y_arr[i]) for i in keep], pa.int64()),
+            pa.array([n_out[i] for i in keep], pa.int32()),
+            pa.array([buf_out[i] for i in keep], pa.binary()),
+        ],
+        names=["tile_z", "tile_x", "tile_y", "n_features", "tile"],
     )
 
-    encode_batch = pandas_udf(result_t)(_make_encoder_fn(gzip, simplify, codec))
-    # nondeterministic marker: the null-tile filter and the output projection
-    # both reference the UDF result — Catalyst duplicates deterministic UDF
-    # calls into BOTH operators (two ArrowEvalPython nodes = every tile
-    # encoded twice, measured 5x wall). Marking it nondeterministic pins a
-    # single evaluation. (The function is in fact deterministic.)
-    return encode_batch.asNondeterministic()
+
+def _make_arrow_encoder(gzip: bool, simplify: bool, codec: str):
+    """mapInArrow encoder over the grouped tiles — one Python call per
+    Arrow batch of WHOLE tiles (the groupBy/collect_list upstream keeps a
+    tile's rows together; MVT dictionaries + merge are order-sensitive, so
+    groups must never split). Succeeds the scalar-pandas-UDF encoder: same
+    batching, same bytes (asserted by the tile-sha and coverclass differ
+    tests), minus the Arrow→pandas struct-dict materialization per row —
+    and mapInArrow evaluates once per row by construction, so the old
+    asNondeterministic() double-evaluation guard is moot."""
+
+    def encode_batches(it):
+        for batch in it:
+            yield _encode_record_batch(batch, gzip, simplify, codec)
+
+    return encode_batches
 
 
 def _make_classifier(simplify: bool = False):
@@ -605,24 +678,24 @@ def build_tiles(
             .drop("_rn")
         )
 
+    # collect_list skips NULLs: provably-empty rows (_cc == 2 — the exact
+    # clip would return nothing) never reach the encoder at all (38% of z13
+    # coverage rows), while count(*) still counts them — n_features is the
+    # tile's FULL pre-filter coverage count (the tiles_meta oracle's
+    # definition). The rect-memo condition and per-tile sort order are
+    # unaffected: cc==2 rows were skipped before building layers anyway.
+    cc0 = F.coalesce(F.col("_cc"), F.lit(0))
     grouped = all_cov.groupBy("tile_z", "tile_x", "tile_y").agg(
         F.collect_list(
-            F.struct("feature_id", "layer_name", "wkb", "props", "_cc")
-        ).alias("feats")
+            F.when(
+                cc0 != 2,
+                F.struct("feature_id", "layer_name", "wkb", "props", "_cc"),
+            )
+        ).alias("feats"),
+        F.count(F.lit(1)).cast("int").alias("n_total"),
     )
-    enc = _make_batched_encoder(gzip, simplify, codec)
-    return (
-        grouped.withColumn(
-            "r", enc(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), F.col("feats"))
-        )
-        .select(
-            "tile_z",
-            "tile_x",
-            "tile_y",
-            F.col("r.n_features").alias("n_features"),
-            F.col("r.tile").alias("tile"),
-        )
-        .filter(F.col("tile").isNotNull())
+    return grouped.mapInArrow(
+        _make_arrow_encoder(gzip, simplify, codec), TILES_SCHEMA
     )
 
 

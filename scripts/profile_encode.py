@@ -2,8 +2,9 @@
 
 Replicates `build_tiles`' pre-encode plan (coverage explode + classifier +
 group) with Spark, materializes the grouped rows to parquet, then runs the
-EXACT executor encode function (`operators.tiling._make_encoder_fn`)
-serially on one core under cProfile. This isolates per-row Python encode
+EXACT executor encode function (`operators.tiling._encode_record_batch`,
+the mapInArrow body) serially on one core under cProfile, feeding it the
+same Arrow record batches the executor sees. This isolates per-row Python encode
 CPU from Spark scheduling/shuffle, so kernel-level optimizations can be
 measured without host-noise error bars.
 
@@ -40,10 +41,15 @@ def build_grouped(out_path: str, zooms: list[int]) -> None:
     all_cov = all_cov.withColumn(
         "_cc", cls(F.col("tile_z"), F.col("tile_x"), F.col("tile_y"), F.col("wkb"))
     )
+    cc0 = F.coalesce(F.col("_cc"), F.lit(0))
     grouped = all_cov.groupBy("tile_z", "tile_x", "tile_y").agg(
         F.collect_list(
-            F.struct("feature_id", "layer_name", "wkb", "props", "_cc")
-        ).alias("feats")
+            F.when(
+                cc0 != 2,
+                F.struct("feature_id", "layer_name", "wkb", "props", "_cc"),
+            )
+        ).alias("feats"),
+        F.count(F.lit(1)).cast("int").alias("n_total"),
     )
     grouped.write.mode("overwrite").parquet(out_path)
     spark.stop()
@@ -67,36 +73,24 @@ def main() -> None:
     if not args.cached:
         build_grouped(path, zooms)
 
-    import pandas as pd
     import pyarrow.dataset as ds
 
     from grandine_spark.operators import tiling
 
-    tbl = ds.dataset(path).to_table()
-    rows = tbl.to_pylist()
-    # normalize to what the Arrow pandas-UDF path delivers: struct rows as
-    # dicts, map props as dict, wkb as bytes
-    for r in rows:
-        for ft in r["feats"]:
-            if ft["props"] is not None and not isinstance(ft["props"], dict):
-                ft["props"] = dict(ft["props"])
-    n_cov = sum(len(r["feats"]) for r in rows)
-    print(f"[profile] tiles={len(rows)} coverage_rows={n_cov}", file=sys.stderr)
-
-    fn = tiling._make_encoder_fn(False, False, "mvt")
+    tbl = ds.dataset(path).to_table().combine_chunks()
+    batches = tbl.to_batches(max_chunksize=args.batch)
+    n_cov = sum(b.column("feats").value_lengths().to_numpy().sum() for b in batches)
+    print(
+        f"[profile] tiles={tbl.num_rows} coverage_rows={int(n_cov)}",
+        file=sys.stderr,
+    )
 
     def run() -> int:
         tiling._RECT_TILE_CACHE.clear()
         total = 0
-        for i in range(0, len(rows), args.batch):
-            chunk = rows[i : i + args.batch]
-            out = fn(
-                pd.Series([r["tile_z"] for r in chunk]),
-                pd.Series([r["tile_x"] for r in chunk]),
-                pd.Series([r["tile_y"] for r in chunk]),
-                pd.Series([r["feats"] for r in chunk]),
-            )
-            total += int(out["tile"].notna().sum())
+        for b in batches:
+            out = tiling._encode_record_batch(b, False, False, "mvt")
+            total += out.num_rows
         return total
 
     t0 = time.monotonic()

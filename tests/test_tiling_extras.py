@@ -123,14 +123,16 @@ def test_build_tiles_hot_tile_cap(spark):
             assert capped[k] == (n, buf)
     # plan: the cap is a spillable rank window (no extra Python stage), and
     # at most one exchange beyond the tiler's own group shuffle. Exactly TWO
-    # Arrow stages since r4: the pre-shuffle coverage classifier + the
-    # encoder (an accidental third — e.g. a re-evaluated encode — would fail)
+    # Python stages since r4: the pre-shuffle coverage classifier
+    # (ArrowEvalPython) + the mapInArrow encoder (an accidental extra —
+    # e.g. a re-evaluated encode — would fail)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         capped_df.explain("formatted")
     plan = buf.getvalue().split("== Initial Plan ==")[0]  # final plan only
     assert "Window" in plan
-    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 2
+    assert len(set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))) == 1
+    assert len(set(re.findall(r"MapInArrow \((\d+)\)", plan))) == 1
     assert len(set(re.findall(r"\bExchange \(\d+\)", plan))) <= 2
 
 
