@@ -72,19 +72,66 @@ def classify_ring_cells(
     ``ring``: (S,2) raw lon/lat vertices (open or closed); ``zs/xs/ys``:
     (T,) integer cell coords. Returns (T,) int8 of ``_cc`` codes.
     """
+    return classify_poly_cells([ring], zs, xs, ys)
+
+
+def classify_poly_cells(
+    rings, zs: np.ndarray, xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Classify one polygon (1..R rings) against T cover cells.
+
+    Single-ring polygons get the full 0/1/2 treatment. Multi-ring
+    (holed) polygons get 0/2 only, and code 2 additionally requires that
+    EVERY ring's center-parity is "outside" individually:
+
+    - code 1 is single-ring-only because holed polygons have no fast
+      path in clip_polygon — the general cut path emits the full-tile
+      rectangle with a data-dependent starting vertex, so the canonical
+      rect literal the encoder substitutes would not be byte-identical.
+    - per-ring-outside (not just even total parity) keeps the code-2
+      proof structural: each ring is then disjoint from the tile, so
+      the four half-plane cuts drop every ring and clip_polygon returns
+      [] with no reliance on shell/hole cancellation inside
+      _assemble_polygons_f for rings that cover the tile an even number
+      of times. (Tiles inside a hole DO clip to [] today, but that goes
+      through assembly-level cancellation — left code 0.)
+
+    Tiles need NOT lie inside the ring's bbox: the decision only needs
+    "no edge near the margin-expanded tile" (then the boundary misses
+    the tile entirely, the tile's side is uniform, and one interior
+    point's parity decides). Coverage enumerates the feature's bbox, so
+    at deep zooms a concave/diagonal feature has MANY covered tiles that
+    straddle or hug the bbox edge and provably clip to nothing — an
+    earlier inside-bbox restriction left ~45% of general-path polygon
+    clips returning [] at the z13 bench shape. For code 1 the exact
+    path's rect short-circuit condition (tile bbox within ring bbox,
+    inclusive, in pixels) still provably holds: parity-inside + no-touch
+    means the whole tile sits inside the ring, hence inside the ring's
+    vertex bbox, and per-axis monotone projection preserves those
+    inclusive coordinate comparisons exactly.
+    """
     out = np.zeros(len(zs), np.int8)
-    p = np.asarray(ring, np.float64)
-    if len(p) < 3:
-        return out
-    if p[0, 0] != p[-1, 0] or p[0, 1] != p[-1, 1]:
-        p = np.vstack([p, p[:1]])
-    a, b = p[:-1], p[1:]
+    single = len(rings) == 1
+    segs = []  # per-ring closed vertex arrays
+    for ring in rings:
+        p = np.asarray(ring, np.float64)
+        if len(p) < 3:
+            # degenerate ring: no claims for the whole polygon
+            return out
+        if p[0, 0] != p[-1, 0] or p[0, 1] != p[-1, 1]:
+            p = np.vstack([p, p[:1]])
+        segs.append(p)
+    a = np.concatenate([p[:-1] for p in segs])
+    b = np.concatenate([p[1:] for p in segs])
+    # ring id per segment → per-ring parity via bincount over ring ids
+    rid = np.concatenate(
+        [np.full(len(p) - 1, i, np.int64) for i, p in enumerate(segs)]
+    )
+    n_rings = len(segs)
     sxlo = np.minimum(a[:, 0], b[:, 0])
     sxhi = np.maximum(a[:, 0], b[:, 0])
     sylo = np.minimum(a[:, 1], b[:, 1])
     syhi = np.maximum(a[:, 1], b[:, 1])
-    rminx, rminy = p[:, 0].min(), p[:, 1].min()
-    rmaxx, rmaxy = p[:, 0].max(), p[:, 1].max()
     ax, ay, bx, by = a[:, 0], a[:, 1], b[:, 0], b[:, 1]
     # supporting-line coefficients nx*X + ny*Y + c per segment
     nx = ay - by
@@ -96,11 +143,12 @@ def classify_ring_cells(
     phim = np.radians(np.minimum(np.maximum(np.abs(sylo), np.abs(syhi)), 89.9))
     sag = np.degrees(dphi * dphi / 8.0 / np.cos(phim) * np.tan(phim))
 
+    n_seg = len(a)
     zs = np.asarray(zs, np.int64)
     for z in np.unique(zs):
         zm = np.flatnonzero(zs == z)
         n = float(2.0**z)
-        step = max(1, _BLOCK // max(1, len(p)))
+        step = max(1, _BLOCK // max(1, n_seg))
         for s in range(0, len(zm), step):
             idx = zm[s : s + step]
             xz = xs[idx].astype(np.float64)
@@ -111,12 +159,6 @@ def classify_ring_cells(
             ss = _tile_lat(yz + 1.0, n)
             eps_x = 2.0 * 360.0 / (n * 4096.0)
             eps_y = 2.0 * (nn - ss) / 4096.0
-            inside_bbox = (
-                (rminx <= w - eps_x)
-                & (rmaxx >= e + eps_x)
-                & (rminy <= ss - eps_y)
-                & (rmaxy >= nn + eps_y)
-            )
             bbox_ov = (
                 (sxlo[:, None] <= e[None, :] + eps_x)
                 & (sxhi[:, None] >= w[None, :] - eps_x)
@@ -138,7 +180,7 @@ def classify_ring_cells(
             )
             line_sep = (smin > marg) | (smax < -marg)
             touch = bbox_ov & ~line_sep
-            clear = inside_bbox & ~touch.any(axis=0)
+            clear = ~touch.any(axis=0)
             if not clear.any():
                 continue
             cxs = (w[clear] + e[clear]) / 2.0
@@ -151,9 +193,19 @@ def classify_ring_cells(
                     by[:, None] - ay[:, None]
                 ) * (bx[:, None] - ax[:, None])
             hits = cross & (cxs[None, :] < xi)
-            par = (hits.sum(axis=0) % 2).astype(bool)
             blk = np.zeros(len(idx), np.int8)
-            blk[clear] = np.where(par, np.int8(1), np.int8(2))
+            if single:
+                par = (hits.sum(axis=0) % 2).astype(bool)
+                blk[clear] = np.where(par, np.int8(1), np.int8(2))
+            else:
+                # per-ring crossing counts: (n_rings, n_clear) via bincount
+                # over flat (ring, tile) indices of the hit matrix
+                flat = rid[:, None] * len(cxs) + np.arange(len(cxs))[None, :]
+                cnt = np.bincount(
+                    flat[hits], minlength=n_rings * len(cxs)
+                ).reshape(n_rings, len(cxs))
+                all_outside = ((cnt % 2) == 0).all(axis=0)
+                blk[clear] = np.where(all_outside, np.int8(2), np.int8(0))
             out[idx] = blk
     return out
 
@@ -241,8 +293,9 @@ def classify_rows(zs, xs, ys, wkbs, simplify: bool = False) -> np.ndarray:
     Rows arrive pre-shuffle, so a feature's cells form contiguous runs —
     each run parses its WKB once and classifies all its tiles in one
     vectorized call. Single-ring polygons get the full 0/1/2 treatment;
-    lines get 0/2 (``simplify`` widens their margins to cover the RDP
-    tolerance); holed polygons and points stay 0 (the exact path
+    holed polygons get 0/2 (see classify_poly_cells); lines get 0/2
+    (``simplify`` widens their margins to cover the RDP tolerance);
+    points stay 0 (the exact path
     decides). A null wkb means the caller's span gate decided the row
     cannot pay for classification (build_tiles' ``classify_min_cells``)
     — null runs stay code 0 without touching the bytes."""
@@ -262,8 +315,8 @@ def classify_rows(zs, xs, ys, wkbs, simplify: bool = False) -> np.ndarray:
         while j < n and wkbs[j] == wi:
             j += 1
         gt, coords = from_wkb(bytes(wi))
-        if gt == 3 and len(coords) == 1:
-            out[i:j] = classify_ring_cells(coords[0], zs[i:j], xs[i:j], ys[i:j])
+        if gt == 3 and len(coords) >= 1:
+            out[i:j] = classify_poly_cells(coords, zs[i:j], xs[i:j], ys[i:j])
         elif gt == 2:
             out[i:j] = classify_line_cells(
                 coords, zs[i:j], xs[i:j], ys[i:j], simplify

@@ -69,6 +69,80 @@ def test_classify_ring_cells_contract_differ():
     assert n1 > 500 and n2 > 50, (n1, n2, n0)
 
 
+def test_classify_poly_cells_holed_contract_differ():
+    """Seeded differ for the multi-ring path: holed star polygons at mixed
+    zooms — every cell classified 2 must clip to nothing, and code 1 must
+    never be assigned (holed polygons have no canonical-rect fast path).
+    Coverage comes from the OUTER ring's bbox, so the classified-2
+    population includes bbox-overshoot tiles that straddle the ring bbox
+    (the case the r4 inside-bbox removal opened up)."""
+    from grandine_spark.kernels import clip as _clip
+    from grandine_spark.kernels.coverclass import classify_poly_cells
+    from grandine_spark.kernels.mvt import EXTENT, TileParams, project_coords
+    from grandine_spark.kernels.tilemath import coverage
+
+    rng = np.random.default_rng(20260820)
+    mask = (0.0, 0.0, float(EXTENT), float(EXTENT))
+    n2 = n0 = 0
+    for trial in range(20):
+        cx = float(rng.uniform(-160, 160))
+        cy = float(rng.uniform(-65, 65))
+        outer = _star(cx, cy, int(rng.integers(5, 14)), 0.5, 1.2, rng)
+        hole = _star(cx, cy, int(rng.integers(4, 9)), 0.08, 0.35, rng)
+        rings = [outer, hole]
+        z = int(rng.integers(8, 14))
+        cells = coverage(
+            outer[:, 0].min(), outer[:, 1].min(),
+            outer[:, 0].max(), outer[:, 1].max(), z,
+        )
+        if len(cells) > 400:
+            idx = rng.choice(len(cells), 400, replace=False)
+            cells = [cells[i] for i in idx]
+        xs = np.array([c[0] for c in cells], np.int64)
+        ys = np.array([c[1] for c in cells], np.int64)
+        zs = np.full(len(cells), z, np.int64)
+        cc = classify_poly_cells(rings, zs, xs, ys)
+        assert not (cc == 1).any(), trial
+        for (x, y, _), code in zip(cells, cc):
+            if code == 0:
+                n0 += 1
+                continue
+            n2 += 1
+            projected = project_coords(3, rings, TileParams(x, y, z))
+            assert _clip.clip_geom(3, projected, mask) == [], (trial, x, y, z)
+    assert n2 > 200, (n2, n0)
+
+
+def test_classify_ring_cells_bbox_overshoot():
+    """A thin diagonal sliver's bbox coverage is mostly tiles the ring
+    never reaches; those must classify 2 even though they straddle or hug
+    the ring's bbox edge (the pre-r4 inside-bbox restriction left them 0),
+    and each claim must match the exact clip."""
+    from grandine_spark.kernels import clip as _clip
+    from grandine_spark.kernels.coverclass import classify_ring_cells
+    from grandine_spark.kernels.mvt import EXTENT, TileParams, project_coords
+    from grandine_spark.kernels.tilemath import coverage
+
+    mask = (0.0, 0.0, float(EXTENT), float(EXTENT))
+    # a 2-degree diagonal sliver 0.02 degrees wide
+    ring = np.array(
+        [[10.0, 40.0], [12.0, 42.0], [12.0, 42.02], [10.0, 40.02]], float
+    )
+    z = 12
+    cells = coverage(10.0, 40.0, 12.0, 42.02, z)
+    xs = np.array([c[0] for c in cells], np.int64)
+    ys = np.array([c[1] for c in cells], np.int64)
+    zs = np.full(len(cells), z, np.int64)
+    cc = classify_ring_cells(ring, zs, xs, ys)
+    n2 = int((cc == 2).sum())
+    # the sliver's own tiles are ~linear in its span; the bbox is ~quadratic
+    assert n2 > len(cells) * 0.8, (n2, len(cells))
+    for (x, y, _), code in zip(cells, cc):
+        if code == 2:
+            projected = project_coords(3, [ring], TileParams(x, y, z))
+            assert _clip.clip_geom(3, projected, mask) == [], (x, y)
+
+
 def test_classify_line_cells_contract_differ():
     """Seeded differ for the line path: for every covered cell classified
     2, clip_line of the projected (optionally RDP-simplified) line must
@@ -138,7 +212,10 @@ def test_classify_rows_groups_runs():
     wkbs = np.array([w_poly, w_poly, w_holed, w_holed, w_line, w_line], object)
     cc = classify_rows(zs, xs, ys, wkbs)
     assert cc[0] == 1 and cc[1] == 1  # deep-interior tile of the ring
-    assert cc[2] == 0 and cc[3] == 0  # holed: exact path decides
+    # holed: the hole's corner touches this tile → exact path decides
+    # (code 1 is never assigned to holed polygons; far-outside holed
+    # tiles DO classify 2 — test_classify_poly_cells_holed_contract_differ)
+    assert cc[2] == 0 and cc[3] == 0
     # the diagonal line passes straight through (2,2)'s tile: not provably
     # outside → 0 (a tile far off the diagonal would be 2, tested in the
     # line contract differ)
