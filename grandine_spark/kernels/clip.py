@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .geometry import chain_segments, ring_bbox, segment_intersection
-from .rounding import round8
+from .rounding import round8, round8_np
 
 # bbox is (minx, miny, maxx, maxy) everywhere in this module.
 
@@ -93,7 +93,18 @@ def clip_segment(seg, bbox):
 
 def clip_line(line: np.ndarray, bbox) -> list[np.ndarray]:
     """Line.ClipToBBox (lib/spatial/line.go:101-136): bbox fast paths, then
-    per-segment clip and re-chaining of contiguous runs into sublines."""
+    per-segment clip and re-chaining of contiguous runs into sublines.
+
+    The per-segment dispatch is vectorized: the fully-in test (raw
+    endpoints vs ROUNDED bbox corners — _seg_fully_in's exact arithmetic)
+    and a provably-empty skip run as numpy masks over all segments, and
+    only straddling segments pay clip_segment. The skip is exact:
+    clip_segment accepts an intersection only when _has_point passes for
+    the segment AND a border, both bounds tests on round8'd endpoints —
+    so a segment whose round8'd bbox is disjoint from the round8'd tile
+    bbox can never yield one, and clip_segment returns []. A line that
+    crosses a deep-zoom tile has a handful of straddling segments and
+    hundreds of disjoint ones; those no longer enter Python at all."""
     minx, miny, maxx, maxy = bbox
     lminx, lminy, lmaxx, lmaxy = ring_bbox(line)
 
@@ -102,11 +113,31 @@ def clip_line(line: np.ndarray, bbox) -> list[np.ndarray]:
     if lmaxx < minx or lmaxy < miny or lminx > maxx or lminy > maxy:
         return []
 
-    pts = [(float(x), float(y)) for x, y in np.asarray(line, np.float64)]
+    p = np.asarray(line, np.float64)
+    a, b = p[:-1], p[1:]
+    rbx0, rby0 = round8(minx), round8(miny)
+    rbx1, rby1 = round8(maxx), round8(maxy)
+    fully = (
+        (a[:, 0] >= rbx0) & (a[:, 1] >= rby0)
+        & (b[:, 0] >= rbx0) & (b[:, 1] >= rby0)
+        & (a[:, 0] <= rbx1) & (a[:, 1] <= rby1)
+        & (b[:, 0] <= rbx1) & (b[:, 1] <= rby1)
+    )
+    rp = round8_np(p)
+    ra, rb_ = rp[:-1], rp[1:]
+    disj = (
+        (np.maximum(ra[:, 0], rb_[:, 0]) < rbx0)
+        | (np.minimum(ra[:, 0], rb_[:, 0]) > rbx1)
+        | (np.maximum(ra[:, 1], rb_[:, 1]) < rby0)
+        | (np.minimum(ra[:, 1], rb_[:, 1]) > rby1)
+    )
     cutsegs = []
-    for i in range(len(pts) - 1):
-        seg = (pts[i], pts[i + 1])
-        if _seg_fully_in(seg, bbox):
+    for i in np.flatnonzero(~disj):
+        seg = (
+            (float(p[i, 0]), float(p[i, 1])),
+            (float(p[i + 1, 0]), float(p[i + 1, 1])),
+        )
+        if fully[i]:
             cutsegs.append(seg)
             continue
         cutsegs.extend(clip_segment(seg, bbox))
