@@ -675,6 +675,7 @@ def main():
             # (interference only ever slows a run down).
             tn = t4n = 1e18
             pair_effs = []
+            pair_quiet = []
             t_scaling0 = time.time()
 
             def _median_clamped(effs):
@@ -693,14 +694,21 @@ def main():
                 # best-of-pairs headline left a sub-0.8 pair in the record
                 # with only 2 samples — ambiguous). Always run ≥ 3 pairs;
                 # keep sampling (up to 8 / the wall budget) while the median
-                # is still noise-dominated (< 0.8) — under sustained load,
-                # more same-window samples are the only honest remedy.
+                # is MARGINAL (< 0.85) — a 0.80x artifact passes the north
+                # rule with no margin, and under a fading noise episode the
+                # later pairs are the clean ones (observed 0.72 → 0.95
+                # within one run); under sustained load, more same-window
+                # samples are the only honest remedy either way.
                 elapsed = time.time() - t_scaling0
                 if pair >= 3 and (
-                    _median_clamped(pair_effs) >= 0.8 or elapsed > 2400
+                    _median_clamped(pair_effs) >= 0.85 or elapsed > 2400
                 ):
                     break
-                wait_for_quiet()  # don't burn a pair inside a noise episode
+                # don't burn a pair inside a noise episode; remember whether
+                # this pair actually got a quiet window (independent,
+                # outcome-blind label — lets the JSON separate quiet-window
+                # evidence from measured-through-noise evidence)
+                pair_quiet.append(wait_for_quiet())
                 # fresh CPU masks per pair (co-tenant load moves): the N-run
                 # uses the quietest-4 SUBSET of the 4N-run's quietest-16, so
                 # both sides share conditions, like executors on one cluster
@@ -745,6 +753,18 @@ def main():
                 "throughput_n": round(thr_n, 1),
                 "throughput_4n": round(thr_4n, 1),
                 "pair_efficiencies": pair_effs,
+                "pair_quiet": pair_quiet,
+                # median over pairs that got a quiet host window (the
+                # idle-gate label is assigned BEFORE the pair runs, so this
+                # is a pre-registered filter, not outcome cherry-picking);
+                # needs >= 3 quiet pairs to be meaningful, else null
+                "efficiency_quiet_median": (
+                    _median_clamped(
+                        [e for e, q in zip(pair_effs, pair_quiet) if q]
+                    )
+                    if sum(pair_quiet) >= 3
+                    else None
+                ),
                 "efficiency_median": _median_clamped(pair_effs),
                 "efficiency_best_plausible": max(
                     [e for e in pair_effs if e <= 1.0], default=None
