@@ -548,6 +548,7 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             avi_encode,
             gif_encode,
             jpeg_encode,
+            jpeg_encode_progressive,
             png_encode,
             wav_encode,
         )
@@ -573,6 +574,15 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     v = 2 * (did % 125)  # even fill → DC-exact round-trip
                     blobs.append(
                         jpeg_encode(np.full((h, w), v, dtype=np.uint8))
+                    )
+                elif kind == "jpeg_prog":
+                    w, h = 6 + did % 12, 5 + did % 9
+                    v = 2 * (did % 125)  # even fill → DC-exact round-trip
+                    blobs.append(
+                        jpeg_encode_progressive(
+                            np.full((h, w), v, dtype=np.uint8),
+                            restart_interval=did % 3,
+                        )
                     )
                 elif kind == "sine":
                     k = 1 + did % 40
@@ -681,6 +691,26 @@ def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grandine_spark.operators.multimodal import extract_image_stats
 
     blobs = _synth_media(spark, sf_dir, "jpeg")
+    out = extract_image_stats(blobs, id_col="doc_id", bin_col="blob")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_px",
+    )
+
+
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end (SOF2 multi-scan: DC
+    first + refinement, per-component AC spectral first + refinement,
+    kernels/media.py): flat EVEN fills quantize losslessly under the
+    flat-16 table (same argument as `jpeg_stats`), so decoded dims/mean
+    are exactly predictable from doc_id; restart_interval = doc_id % 3
+    also puts progressive-scan DRI/RSTn handling on the value hash."""
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    blobs = _synth_media(spark, sf_dir, "jpeg_prog")
     out = extract_image_stats(blobs, id_col="doc_id", bin_col="blob")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2105,6 +2135,17 @@ FROM documents
 """
 
 
+def _oracle_jpeg_progressive() -> str:
+    return """
+SELECT doc_id,
+       6 + doc_id % 12 AS width,
+       5 + doc_id % 9 AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(2 * (doc_id % 125) AS DOUBLE) AS mean_px
+FROM documents
+"""
+
+
 def _oracle_audio_spectrum() -> str:
     return """
 SELECT doc_id,
@@ -2594,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_spectrum": q_audio_spectrum,
         "jpeg_stats": q_jpeg_stats,
+        "jpeg_progressive": q_jpeg_progressive,
         "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
@@ -2728,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _oracle_video_frames(),
         "audio_spectrum": _oracle_audio_spectrum(),
         "jpeg_stats": _oracle_jpeg_stats(),
+        "jpeg_progressive": _oracle_jpeg_progressive(),
         "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),

@@ -498,9 +498,16 @@ def avi_decode(buf: bytes) -> tuple[np.ndarray, float]:
 # encoder writes its own canonical tables (12 DC symbols at 4 bits, all
 # 162 AC symbols at 8 bits — valid Kraft, no all-ones code) with 1x1
 # sampling (4:4:4), so every decoder can read it. Supported decode subset
-# (asserted): baseline sequential (SOF0), 8-bit, 1x1 sampling per
-# component (grayscale or 4:4:4), with DRI/restart-marker support.
-# Progressive (SOF2) and subsampled chroma raise ValueError.
+# (asserted): baseline sequential (SOF0) AND progressive (SOF2, spectral
+# selection + successive approximation per ITU T.81 G.1.2 — multi-scan
+# coefficient accumulation with EOB-run and refinement-bit handling),
+# 8-bit, 1x1 sampling per component (grayscale or 4:4:4), with
+# DRI/restart-marker support in both modes. Subsampled chroma raises
+# ValueError. jpeg_encode_progressive emits a 2-scan DC (first + refine)
+# + per-component AC (first + refine) scan script so the decoder's
+# successive-approximation paths are round-trip-testable in-repo: the
+# progressive stream quantizes to the SAME coefficients as jpeg_encode,
+# so decode(progressive) == decode(baseline) exactly.
 
 _ZIGZAG = []
 for _s in range(15):
@@ -668,6 +675,282 @@ def jpeg_encode(
     return b"".join(out)
 
 
+def _huff_spec_ac_progressive():
+    """(counts, symbols) for the progressive encoder's AC table: the 162
+    baseline run/size symbols plus the EOBn symbols (r<<4, r=0..14) that
+    progressive EOB-run coding needs — 176 symbols, all 8-bit codes
+    (Kraft 176/256 < 1, max code 0xAF, no all-ones)."""
+    ac_counts = [0] * 16
+    ac_syms = [r << 4 for r in range(16)] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_counts[7] = len(ac_syms)
+    return ac_counts, ac_syms
+
+
+def _put_category(w: _BitWriter, codes, v: int, run: int = 0):
+    """Emit the (run<<4|size) huffman symbol + mantissa bits for value v."""
+    s = _category(v)
+    c, ln = codes[(run << 4) | s]
+    w.put(c, ln)
+    if s:
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    restart_interval: int = 0,
+    refine: bool = True,
+) -> bytes:
+    """uint8 (H,W) grayscale or (H,W,3) RGB → progressive JPEG (SOF2,
+    4:4:4). Scan script: interleaved DC first (Al=1) + DC refinement, then
+    per-component AC spectral scans (Ss=1..63) — split into an Al=1 first
+    scan plus an Ah=1/Al=0 refinement scan when ``refine`` (exercising the
+    full successive-approximation wire format, T.81 G.1.2.2/G.1.2.3), or a
+    single Al=0 spectral-selection-only scan otherwise. Quantized
+    coefficients are computed with the exact same math as ``jpeg_encode``,
+    so decoding this stream yields byte-identical pixels to decoding the
+    baseline stream."""
+    a = np.asarray(img, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    q = (_FLAT_Q if qtable is None else np.asarray(qtable, dtype=np.int64)).ravel()
+    if gray:
+        comps = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    comps = [np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps]
+    n_comp = len(comps)
+    nby, nbx = ph // 8, pw // 8
+    qmat = q.reshape(8, 8).astype(np.float64)
+    # quantized coefficient store, zigzag order — per-block matmul kept
+    # IDENTICAL to jpeg_encode so both encoders quantize to the same ints
+    zz = [np.empty((nby, nbx, 64), dtype=np.int64) for _ in comps]
+    for ci, comp in enumerate(comps):
+        for iby in range(nby):
+            for ibx in range(nbx):
+                block = comp[iby * 8 : iby * 8 + 8, ibx * 8 : ibx * 8 + 8] - 128.0
+                f = _DCT_C @ block @ _DCT_C.T
+                zz[ci][iby, ibx] = np.round(f / qmat).astype(np.int64).ravel()[
+                    _ZIGZAG
+                ]
+
+    (dc_counts, dc_syms), _ = _huff_spec()
+    ac_counts, ac_syms = _huff_spec_ac_progressive()
+    dc_codes = _canonical_codes(dc_counts, dc_syms)
+    ac_codes = _canonical_codes(ac_counts, ac_syms)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = [b"\xff\xd8", seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+    out.append(seg(0xFFDB, b"\x00" + bytes(int(x) for x in q[_ZIGZAG])))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for cid in range(1, n_comp + 1):
+        sof += bytes([cid, 0x11, 0])
+    out.append(seg(0xFFC2, sof))
+    out.append(seg(0xFFC4, b"\x00" + bytes(dc_counts) + bytes(dc_syms)))
+    out.append(seg(0xFFC4, b"\x10" + bytes(ac_counts) + bytes(ac_syms)))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+
+    def sos(cids: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(cids)])
+        body += b"".join(bytes([cid, 0x00]) for cid in cids)
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    dc_al = 1 if refine else 0
+    ac_al = 1 if refine else 0
+
+    class _ScanWriter:
+        """_BitWriter + per-scan restart-marker bookkeeping."""
+
+        def __init__(self):
+            self.w = _BitWriter()
+            self.mcus = 0
+            self.rst = 0
+
+        def restart_boundary(self) -> bool:
+            if restart_interval and self.mcus == restart_interval:
+                self.w.flush()
+                self.w.out += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                self.mcus = 0
+                return True
+            return False
+
+        def finish(self) -> bytes:
+            self.w.flush()
+            return bytes(self.w.out)
+
+    # --- scan 1: DC first, interleaved, point transform Al=dc_al ---
+    sw = _ScanWriter()
+    preds = [0] * n_comp
+    for iby in range(nby):
+        for ibx in range(nbx):
+            if sw.restart_boundary():
+                preds = [0] * n_comp
+            for ci in range(n_comp):
+                v = int(zz[ci][iby, ibx, 0]) >> dc_al  # arithmetic shift
+                _put_category(sw.w, dc_codes, v - preds[ci])
+                preds[ci] = v
+            sw.mcus += 1
+    out.append(sos(list(range(1, n_comp + 1)), 0, 0, 0, dc_al))
+    out.append(sw.finish())
+
+    # --- scan 2: DC refinement (one raw bit per block), Ah=dc_al, Al=0 ---
+    if refine:
+        sw = _ScanWriter()
+        for iby in range(nby):
+            for ibx in range(nbx):
+                sw.restart_boundary()
+                for ci in range(n_comp):
+                    sw.w.put(int(zz[ci][iby, ibx, 0]) & 1, 1)
+                sw.mcus += 1
+        out.append(sos(list(range(1, n_comp + 1)), 0, 0, dc_al, 0))
+        out.append(sw.finish())
+
+    # --- AC scans: one component per scan (progressive AC scans are
+    # non-interleaved by spec) ---
+    for ci in range(n_comp):
+        blocks = zz[ci]
+
+        # AC first scan: code sign-magnitude-shifted coefficients with
+        # EOB-run accumulation (T.81 G.1.2.2)
+        sw = _ScanWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rb = eobrun.bit_length() - 1
+                c, ln = ac_codes[rb << 4]
+                sw.w.put(c, ln)
+                if rb:
+                    sw.w.put(eobrun - (1 << rb), rb)
+                eobrun = 0
+
+        for iby in range(nby):
+            for ibx in range(nbx):
+                if restart_interval and sw.mcus == restart_interval:
+                    flush_eob()
+                    sw.restart_boundary()
+                band = blocks[iby, ibx]
+                vals = [0] * 64
+                last = 0
+                for k in range(1, 64):
+                    v = int(band[k])
+                    if v:
+                        vals[k] = (abs(v) >> ac_al) * (1 if v > 0 else -1)
+                        if vals[k]:
+                            last = k
+                sw.mcus += 1
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[0xF0]
+                        sw.w.put(c, ln)
+                        run -= 16
+                    _put_category(sw.w, ac_codes, v, run)
+                    run = 0
+                if last < 63:
+                    eobrun = 1
+        flush_eob()
+        out.append(sos([ci + 1], 1, 63, 0, ac_al))
+        out.append(sw.finish())
+
+        # AC refinement scan (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
+        # correction bit per already-nonzero coefficient, ±1 for newly
+        # nonzero ones, EOB runs carry their blocks' buffered correction bits
+        if refine:
+            sw = _ScanWriter()
+            eobrun = 0
+            pend: list[int] = []  # correction bits buffered across an EOB run
+
+            def flush_eob_refine():
+                nonlocal eobrun, pend
+                if eobrun:
+                    rb = eobrun.bit_length() - 1
+                    c, ln = ac_codes[rb << 4]
+                    sw.w.put(c, ln)
+                    if rb:
+                        sw.w.put(eobrun - (1 << rb), rb)
+                    for bit in pend:
+                        sw.w.put(bit, 1)
+                    pend = []
+                    eobrun = 0
+
+            for iby in range(nby):
+                for ibx in range(nbx):
+                    if restart_interval and sw.mcus == restart_interval:
+                        flush_eob_refine()
+                        sw.restart_boundary()
+                    band = blocks[iby, ibx]
+                    sw.mcus += 1
+                    temp = [abs(int(band[k])) >> 0 for k in range(64)]
+                    # magnitudes at this scan's precision (Al=0); history
+                    # (what prior scans sent) is temp >> 1
+                    eob = 0
+                    for k in range(1, 64):
+                        if temp[k] == 1:
+                            eob = k
+                    run = 0
+                    br: list[int] = []  # this block's pending correction bits
+                    for k in range(1, 64):
+                        t = temp[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob:
+                            flush_eob_refine()
+                            c, ln = ac_codes[0xF0]
+                            sw.w.put(c, ln)
+                            run -= 16
+                            for bit in br:
+                                sw.w.put(bit, 1)
+                            br = []
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        # t == 1: newly nonzero at this precision
+                        flush_eob_refine()
+                        c, ln = ac_codes[(run << 4) | 1]
+                        sw.w.put(c, ln)
+                        sw.w.put(1 if int(band[k]) > 0 else 0, 1)
+                        for bit in br:
+                            sw.w.put(bit, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        eobrun += 1
+                        pend.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob_refine()
+            flush_eob_refine()
+            out.append(sos([ci + 1], 1, 63, 1, 0))
+            out.append(sw.finish())
+
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
 class _BitReader:
     def __init__(self, buf: bytes, pos: int):
         self.buf = buf
@@ -759,9 +1042,121 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _prog_ac_first(rd, ac, blk, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (T.81 G.1.2.2). ``blk`` is
+    the block's zigzag-order int64 coefficient view; returns the updated
+    EOB-run counter (count includes the block that started the run)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_read(rd, ac)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # this block ends now; run covers r more
+                if r:
+                    eobrun += rd.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun in progressive scan")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(rd, ac, blk, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    correction bit per already-nonzero coefficient, ±1<<al for newly
+    nonzero ones, EOB runs carrying buffered correction bits."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if rd.bits(1) and (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_read(rd, ac)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # includes this block; decremented below
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement symbol")
+                val = p1 if rd.bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_finish(planes: list, ih: int, iw: int) -> np.ndarray:
+    """Crop + level-shift + (YCbCr→RGB when 3 planes) + round/clip —
+    shared by the baseline and progressive decode paths so both produce
+    bit-identical pixels from identical coefficients."""
+    planes = [p[:ih, :iw] + 128.0 for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _prog_reconstruct(stores, comps, qtables, dims) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficient store.
+    Per-block matmul identical to the baseline scan path."""
+    ih, iw = dims
+    ph, pw = (ih + 7) & ~7, (iw + 7) & ~7
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qtables[c["tq"]]
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        store = stores[ci]
+        for by in range(store.shape[0]):
+            for bx in range(store.shape[1]):
+                coefs = np.zeros(64, dtype=np.int64)
+                coefs[_ZIGZAG] = store[by, bx]
+                f = coefs.reshape(8, 8) * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_C.T @ f @ _DCT_C
+                )
+        planes.append(plane)
+    return _jpeg_finish(planes, ih, iw)
+
+
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (H,W) grayscale or (H,W,3) RGB.
-    Subset: SOF0, 8-bit, 1x1 sampling (grayscale / 4:4:4); DRI honored."""
+    """JPEG bytes → uint8 (H,W) grayscale or (H,W,3) RGB.
+    Subset: baseline (SOF0) and progressive (SOF2, spectral selection +
+    successive approximation), 8-bit, 1x1 sampling (grayscale / 4:4:4);
+    DRI honored in both modes."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -770,6 +1165,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     comps = None
     dims = None
     restart_interval = 0
+    progressive = False
+    stores = None  # progressive: per-component zigzag coefficient arrays
+    scans_done = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
@@ -780,10 +1178,13 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         if pos + 1 >= len(buf):
             break
         marker = buf[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+            # 0x00 = stuffed-byte tail left unread by a progressive scan
             pos += 2
             continue
         if marker == 0xD9:
+            if progressive and scans_done:
+                return _prog_reconstruct(stores, comps, qtables, dims)
             break
         (length,) = struct.unpack_from(">H", buf, pos + 2)
         body = buf[pos + 4 : pos + 2 + length]
@@ -808,7 +1209,8 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 codes = _canonical_codes(counts, syms)
                 htables[(tc, th)] = _HuffTable(codes)
                 bpos += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, ih, iw, nf = struct.unpack_from(">BHHB", body, 0)
             dims = (ih, iw)
             comps = []
@@ -817,12 +1219,75 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 if samp != 0x11:
                     raise ValueError("only 1x1 sampling (gray/4:4:4) supported")
                 comps.append({"id": cid, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only SOF0 (baseline) / SOF2 (progressive) supported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
+            if progressive:
+                scomps = []
+                for i in range(ns):
+                    cid, tt = body[1 + i * 2 : 3 + i * 2]
+                    for idx, c in enumerate(comps):
+                        if c["id"] == cid:
+                            scomps.append((idx, tt >> 4, tt & 0x0F))
+                ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+                ah, al = ahal >> 4, ahal & 0x0F
+                ih, iw = dims
+                nby, nbx = ((ih + 7) & ~7) // 8, ((iw + 7) & ~7) // 8
+                if stores is None:
+                    stores = [np.zeros((nby, nbx, 64), np.int64) for _ in comps]
+                rd = _BitReader(buf, pos + 2 + length)
+                try:
+                    if ss == 0:
+                        if se != 0:
+                            raise ValueError("bad progressive DC scan header")
+                        preds = [0] * len(scomps)
+                        mcus = 0
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                if restart_interval and mcus == restart_interval:
+                                    rd.skip_restart()
+                                    preds = [0] * len(scomps)
+                                    mcus = 0
+                                for si, (ci, td, _ta) in enumerate(scomps):
+                                    blk = stores[ci][by, bx]
+                                    if ah == 0:
+                                        s = _huff_read(rd, htables[(0, td)])
+                                        d = _extend(rd.bits(s), s) if s else 0
+                                        preds[si] += d
+                                        blk[0] = preds[si] << al
+                                    else:
+                                        blk[0] = int(blk[0]) | (rd.bits(1) << al)
+                                mcus += 1
+                    else:
+                        if len(scomps) != 1 or se > 63 or ss > se:
+                            raise ValueError("bad progressive AC scan header")
+                        ci, _td, ta = scomps[0]
+                        ac = htables[(1, ta)]
+                        store = stores[ci]
+                        eobrun = mcus = 0
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                if restart_interval and mcus == restart_interval:
+                                    rd.skip_restart()
+                                    eobrun = mcus = 0
+                                blk = store[by, bx]
+                                if ah == 0:
+                                    eobrun = _prog_ac_first(
+                                        rd, ac, blk, ss, se, al, eobrun
+                                    )
+                                else:
+                                    eobrun = _prog_ac_refine(
+                                        rd, ac, blk, ss, se, al, eobrun
+                                    )
+                                mcus += 1
+                except _RestartMarker:
+                    raise ValueError("restart marker misaligned with DRI")
+                scans_done += 1
+                pos = rd.pos
+                continue
             for i in range(ns):
                 cid, tt = body[1 + i * 2 : 3 + i * 2]
                 for c in comps:
@@ -871,15 +1336,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                     except _RestartMarker:
                         raise ValueError("restart marker misaligned with DRI")
                     mcus_done += 1
-            planes = [p[:ih, :iw] + 128.0 for p in planes]
-            if len(planes) == 1:
-                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = planes
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
-                np.uint8
-            )
+            return _jpeg_finish(planes, ih, iw)
         pos = pos + 2 + length
+    if progressive and scans_done:
+        # conforming streams end with EOI, but decode what accumulated
+        return _prog_reconstruct(stores, comps, qtables, dims)
     raise ValueError("truncated JPEG (no scan)")

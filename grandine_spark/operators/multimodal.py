@@ -8,10 +8,12 @@ WAV PCM decode + FFT spectral features, and uncompressed-AVI frame
 extraction run on the pure stdlib+numpy codecs in ``kernels/media.py`` —
 image stats, thumbnailing, audio stats/spectra, and video frame stats are
 genuine end-to-end decodes, oracle-checked against independently-predicted
-dimensions/means/bins. Still honestly STUBBED: progressive JPEG, WebP/TIFF,
-and compressed-video frames (codec libraries, not kernels; none ships in
-this container) — those keep the deterministic-fake plumbing; swapping in
-PIL/pyav changes one function.
+dimensions/means/bins. Round 4 adds REAL progressive-JPEG (SOF2) decode —
+spectral selection + successive approximation, differ-tested against the
+baseline decode. Still honestly STUBBED: WebP/TIFF and inter-frame video
+codecs (codec libraries, not kernels; none ships in this container) —
+those keep the deterministic-fake plumbing; swapping in PIL/pyav changes
+one function.
 """
 
 from __future__ import annotations
@@ -207,9 +209,9 @@ def sample_frames(
 
 
 def decode_image(buf: bytes):
-    """REAL image decode for PNG, GIF, and baseline JPEG (pure stdlib +
-    numpy — see kernels/media.py); formats outside that set (WebP, TIFF,
-    progressive JPEG, ...) still raise via the stub."""
+    """REAL image decode for PNG, GIF, and JPEG — baseline AND progressive
+    (pure stdlib + numpy — see kernels/media.py); formats outside that set
+    (WebP, TIFF, ...) still raise via the stub."""
     b = bytes(buf)
     if b[:4] == b"\x89PNG":
         from ..kernels.media import png_decode

@@ -376,16 +376,114 @@ def test_jpeg_restart_markers_decode_identically():
         assert (jpeg_decode(jpeg_encode(img, restart_interval=ri)) == base).all()
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_malformed_scan_and_garbage():
     from grandine_spark.kernels.media import jpeg_decode, jpeg_encode
 
     raw = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
     at = raw.find(b"\xff\xc0")
-    raw[at + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError):
+    raw[at + 1] = 0xC2  # SOF2 with a baseline Ss=0/Se=63 scan header:
+    with pytest.raises(ValueError):  # illegal progressive DC scan
         jpeg_decode(bytes(raw))
     with pytest.raises(ValueError):
         jpeg_decode(b"\x00\x01nope")
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The progressive encoder quantizes with the same math as the baseline
+    encoder, so decoding either stream must give bit-identical pixels. Runs
+    the full successive-approximation script (DC first+refine, AC
+    first+refine) and the spectral-selection-only script, gray and RGB."""
+    from grandine_spark.kernels.media import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:30, 0:41]
+    cases = [
+        rng.integers(0, 256, (24, 17), dtype=np.uint8),  # dense AC + corrections
+        rng.integers(0, 256, (11, 13, 3), dtype=np.uint8),
+        ((yy * 3 + xx * 5) % 256).astype(np.uint8),  # smooth gradient
+        np.full((16, 16), 100, np.uint8),  # all-zero AC -> long EOB run
+        ((yy + xx) % 2 * 255).astype(np.uint8)[:16, :16],  # checker -> ZRL
+    ]
+    for img in cases:
+        base = jpeg_decode(jpeg_encode(img))
+        for refine in (True, False):
+            buf = jpeg_encode_progressive(img, refine=refine)
+            assert buf.find(b"\xff\xc2") > 0  # SOF2
+            assert buf.count(b"\xff\xda") >= (2 if img.ndim == 2 else 4)
+            dec = jpeg_decode(buf)
+            assert dec.shape == base.shape and (dec == base).all()
+
+
+def test_jpeg_progressive_restart_markers():
+    from grandine_spark.kernels.media import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 33), dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(img))
+    for ri in (1, 3, 7):
+        for refine in (True, False):
+            buf = jpeg_encode_progressive(img, restart_interval=ri, refine=refine)
+            assert (jpeg_decode(buf) == base).all()
+
+
+def test_jpeg_progressive_dc_prefix_decodes():
+    """Truncating after the DC scans and appending EOI must still decode —
+    the renderable-prefix property progressive JPEG exists for."""
+    from grandine_spark.kernels.media import jpeg_decode, jpeg_encode_progressive
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    buf = jpeg_encode_progressive(img, refine=False)
+    first = buf.find(b"\xff\xda")
+    second = buf.find(b"\xff\xda", first + 2)
+    dec = jpeg_decode(buf[:second] + b"\xff\xd9")
+    # DC-only reconstruction = per-block mean; same mean as the full decode
+    assert dec.shape == img.shape
+    assert abs(float(dec.mean()) - float(jpeg_decode(buf).mean())) < 1.0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+    st.booleans(),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_progressive_differ(h, w, color, refine, seed):
+    """Seeded differ: progressive decode == baseline decode on random
+    images (any wire-format bug breaks the equality)."""
+    from grandine_spark.kernels.media import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = jpeg_decode(jpeg_encode(img))
+    dec = jpeg_decode(jpeg_encode_progressive(img, refine=refine))
+    assert dec.shape == base.shape and (dec == base).all()
+
+
+def test_image_stats_dispatches_progressive_jpeg(spark):
+    from grandine_spark.kernels.media import jpeg_encode_progressive
+    from grandine_spark.operators.multimodal import extract_image_stats
+
+    gray = np.full((6, 10), 88, dtype=np.uint8)
+    blob = jpeg_encode_progressive(gray)
+    df = spark.createDataFrame([("p1", bytearray(blob))], "url string, png binary")
+    row = extract_image_stats(df).collect()[0]
+    assert (row.height, row.width) == (6, 10)
+    assert abs(row.mean_px - 88.0) < 1e-6
 
 
 def test_image_stats_dispatches_jpeg(spark):
