@@ -721,6 +721,26 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: fixed-token windows (12 tokens, stride 8)
+    over the documents table — pure Catalyst (tokenize → sequence →
+    explode → slice), NO shuffle; the unit fed to tokenizers and
+    near-dup/decontamination passes at 100 TB."""
+    from grandine_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=12, stride=8)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-and-slice assignment of chunks to
+    fixed-64-token training sequences, md5-sharded (8 shards), one
+    exchange + a per-shard running-sum window — no global sort."""
+    from grandine_spark.operators.chunking import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=12, stride=8)
+    return pack_chunks(chunks, seq_len=64, n_shards=8)
+
+
 def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL DSP end-to-end: a pure sine exactly on FFT bin k = 1+doc_id%40
     (256 samples @ 8 kHz) survives int16 rounding with its argmax bin
@@ -2146,6 +2166,45 @@ FROM documents
 """
 
 
+_CHUNK_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+st AS (SELECT doc_id, t, n, unnest(range(0, n, 8)) AS s FROM nn),
+chunks AS (
+  SELECT doc_id,
+         s // 8 AS chunk_idx,
+         CAST(least(12, n - s) AS BIGINT) AS n_tokens,
+         array_to_string(t[s + 1 : s + 12], ' ') AS chunk_text
+  FROM st)
+"""
+
+
+def _oracle_chunk_docs() -> str:
+    return _CHUNK_CTE + "SELECT * FROM chunks"
+
+
+def _oracle_pack_chunks() -> str:
+    # NB: // not CAST(AS BIGINT) — DuckDB CAST rounds half-even, not floor
+    return _CHUNK_CTE + """
+, sh AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+  FROM chunks),
+cum AS (
+  SELECT shard, doc_id, chunk_idx, n_tokens,
+         -- CAST: SUM(BIGINT) is HUGEINT -> float64 via pandas otherwise
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS cb
+  FROM sh)
+SELECT shard, cb // 64 AS pack_id, doc_id, chunk_idx, n_tokens,
+       cb % 64 AS pack_offset
+FROM cum
+"""
+
+
 def _oracle_audio_spectrum() -> str:
     return """
 SELECT doc_id,
@@ -2636,6 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrum": q_audio_spectrum,
         "jpeg_stats": q_jpeg_stats,
         "jpeg_progressive": q_jpeg_progressive,
+        "chunk_docs": q_chunk_docs,
+        "pack_chunks": q_pack_chunks,
         "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
@@ -2771,6 +2832,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_spectrum": _oracle_audio_spectrum(),
         "jpeg_stats": _oracle_jpeg_stats(),
         "jpeg_progressive": _oracle_jpeg_progressive(),
+        "chunk_docs": _oracle_chunk_docs(),
+        "pack_chunks": _oracle_pack_chunks(),
         "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),

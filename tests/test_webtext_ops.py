@@ -317,3 +317,98 @@ def test_cap_buckets_anti_join_exact(spark):
     df = spark.createDataFrame(rows, "id long, bucket string")
     kept = cap_buckets(df, "bucket", 5).collect()
     assert {r.bucket for r in kept} == {f"cold{i}" for i in range(4)}
+
+
+def test_chunk_documents_windows(spark):
+    from grandine_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j"),  # 10 tokens
+        (2, "x y"),  # shorter than one chunk
+        (3, "   "),  # zero tokens -> no rows
+        (4, "p  q\t r\n s"),  # mixed whitespace
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (4, "g h i j")
+    assert got[(1, 3)] == (1, "j")  # final short window
+    assert got[(2, 0)] == (2, "x y")
+    assert got[(4, 0)] == (4, "p q r s")
+    assert got[(4, 1)] == (1, "s")  # stride 3 over 4 tokens -> second window
+    assert not any(d == 3 for d, _ in got)
+    assert len(got) == 7
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    """Chunking must stay map-side: tokenize -> sequence -> explode ->
+    slice, zero Exchange nodes and zero Python stages."""
+    import contextlib
+    import io
+    import re
+
+    from grandine_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    df = chunk_documents(docs, chunk_tokens=4, stride=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert not re.findall(r"\bExchange \(\d+\)", plan)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "MapInArrow"):
+        assert node not in plan
+
+
+def test_pack_chunks_concat_slice_rule(spark):
+    from grandine_spark.operators.chunking import pack_chunks
+
+    # single shard (n_shards=1) so the stream order is just (doc, chunk)
+    rows = [
+        (1, 0, 40),
+        (1, 1, 40),  # starts at 40 -> pack 0 (first token rule), runs over
+        (2, 0, 50),  # starts at 80 -> pack 1, offset 16
+        (3, 0, 64),  # starts at 130 -> pack 2, offset 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens long")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.shard, r.pack_id, r.pack_offset)
+        for r in pack_chunks(df, seq_len=64, n_shards=1).collect()
+    }
+    assert got[(1, 0)] == (0, 0, 0)
+    assert got[(1, 1)] == (0, 0, 40)
+    assert got[(2, 0)] == (0, 1, 16)
+    assert got[(3, 0)] == (0, 2, 2)
+
+
+def test_pack_chunks_one_exchange_and_shard_determinism(spark):
+    import contextlib
+    import io
+    import re
+
+    from grandine_spark.operators.chunking import chunk_documents, pack_chunks
+
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(20))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_chunks(chunk_documents(docs, chunk_tokens=8, stride=8), seq_len=32)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packed.explain("formatted")
+    plan = buf.getvalue()
+    assert len(set(re.findall(r"\bExchange \(\d+\)", plan))) == 1
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, packed.collect()))
+    assert a == b  # md5 shard + (doc, chunk) order: fully deterministic
+    # every pack's offsets are consistent: offset == cumsum within pack
+    from collections import defaultdict
+
+    by_pack = defaultdict(list)
+    for r in packed.collect():
+        by_pack[(r.shard, r.pack_id)].append((r.doc_id, r.chunk_idx, r.n_tokens, r.pack_offset))
+    for rows_ in by_pack.values():
+        rows_.sort()
+        assert rows_[0][3] < 32  # first chunk of a pack starts inside it
