@@ -479,6 +479,21 @@ def main():
         ).count(),
         reps=2,
     )
+    # training-data chunk + pack: map-side 128-token windows over the page
+    # text, then one-exchange concat-and-slice packing into 2048-token
+    # sequences across 64 md5 shards
+    from grandine_spark.operators.chunking import chunk_documents, pack_chunks
+
+    timed(
+        "chunk_pack",
+        lambda: pack_chunks(
+            chunk_documents(sample, id_col="url", chunk_tokens=128),
+            seq_len=2048,
+            id_col="url",
+            n_shards=64,
+        ).count(),
+        reps=2,
+    )
     # self as-of join on the zipf-skewed domain key: each fetch gains the
     # previous fetch of the same domain (union + one shuffle + window)
     timed(
