@@ -721,6 +721,22 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-delta dedup against a standing corpus: documents split by
+    doc_id parity (even = standing corpus, odd = new snapshot); survivors
+    are odd docs with no exact md5 match and no shared MinHash-LSH bucket
+    (n_perm=4, band_size=2 — same family as `minhash_lsh`) in the even
+    half. Standing side reduces to DISTINCT digests/buckets — never
+    self-joined (the 10^12-doc incremental shape)."""
+    from grandine_spark.operators.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    standing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup_incremental(new, standing, n_perm=4, band_size=2, shingle_k=3)
+    return out.select("doc_id", "lang", F.md5("text").alias("digest"))
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: fixed-token windows (12 tokens, stride 8)
     over the documents table — pure Catalyst (tokenize → sequence →
@@ -1698,6 +1714,36 @@ buckets AS (
   SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS bucket FROM mh)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _oracle_dedup_incremental() -> str:
+    from grandine_spark.functions.text import minhash_salt
+
+    s0, s1, s2, s3 = (minhash_salt(p) for p in range(4))
+    return f"""
+WITH {_SHINGLE_SQL},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+mh AS (
+  SELECT doc_id,
+         MIN(xor(h, {s0})) AS mh0, MIN(xor(h, {s1})) AS mh1,
+         MIN(xor(h, {s2})) AS mh2, MIN(xor(h, {s3})) AS mh3
+  FROM hs GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, '0' || '|' || mh0 || '|' || mh1 AS bucket FROM mh
+  UNION ALL
+  SELECT doc_id, '1' || '|' || mh2 || '|' || mh3 AS bucket FROM mh),
+std_dig AS (SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
+std_buck AS (SELECT DISTINCT bucket FROM buckets WHERE doc_id % 2 = 0),
+new AS (
+  SELECT doc_id, lang, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1),
+drop_near AS (
+  SELECT DISTINCT doc_id FROM buckets
+  WHERE doc_id % 2 = 1 AND bucket IN (SELECT bucket FROM std_buck))
+SELECT doc_id, lang, digest FROM new
+WHERE digest NOT IN (SELECT d FROM std_dig)
+  AND doc_id NOT IN (SELECT doc_id FROM drop_near)
 """
 
 
@@ -2697,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive": q_jpeg_progressive,
         "chunk_docs": q_chunk_docs,
         "pack_chunks": q_pack_chunks,
+        "dedup_incremental": q_dedup_incremental,
         "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
@@ -2834,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_progressive": _oracle_jpeg_progressive(),
         "chunk_docs": _oracle_chunk_docs(),
         "pack_chunks": _oracle_pack_chunks(),
+        "dedup_incremental": _oracle_dedup_incremental(),
         "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),

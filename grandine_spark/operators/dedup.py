@@ -66,23 +66,18 @@ def dedup_exact_pairs(df: DataFrame, id_col="doc_id", text_col="text") -> DataFr
     )
 
 
-def minhash_lsh_pairs(
+def _lsh_buckets(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 3,
-    n_perm: int = 8,
-    band_size: int = 2,
-    max_bucket: int | None = None,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    n_perm: int,
+    band_size: int,
 ) -> DataFrame:
-    """MinHash + LSH banding: near-duplicate CANDIDATE pairs (a < b).
-
-    shingle → integer min-hash per permutation (one md5 per shingle, XOR
-    family) → concat ``band_size`` hashes per band → self-join per band
-    bucket → distinct pairs. Documents with no shingles are excluded.
-    ``max_bucket``: optional skew guard — drop buckets wider than this before
-    the self-join (see operators.skew.cap_buckets).
-    """
+    """(id, bucket) rows: MinHash signature banded into LSH bucket keys —
+    the shared front half of the self-join (``minhash_lsh_pairs``) and the
+    new-vs-standing join (``dedup_incremental``). Documents with no
+    shingles produce no rows."""
     # exclude shingle-less docs BEFORE the hash projection, and on the cheap
     # token count: a filter on size(_h) gets pushed below the projection by
     # Catalyst with the whole shingle+md5 expression substituted into the
@@ -95,6 +90,7 @@ def minhash_lsh_pairs(
         F.col(id_col),
         TXT.shingle_hashes(TXT.word_shingles(F.col(text_col), shingle_k)).alias("_h"),
     )
+
     def _xor_min(salt: int):
         return F.array_min(F.transform(F.col("_h"), lambda h: h.bitwiseXOR(F.lit(salt))))
 
@@ -112,9 +108,29 @@ def minhash_lsh_pairs(
         )
     banded = sig.select(F.col(id_col), *band_cols)
 
-    # one row per (doc, band-signature), then bucket self-join
+    # one row per (doc, band-signature)
     stack_expr = F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
-    buckets = banded.select(F.col(id_col), stack_expr.alias("bucket"))
+    return banded.select(F.col(id_col), stack_expr.alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_perm: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH banding: near-duplicate CANDIDATE pairs (a < b).
+
+    shingle → integer min-hash per permutation (one md5 per shingle, XOR
+    family) → concat ``band_size`` hashes per band → self-join per band
+    bucket → distinct pairs. Documents with no shingles are excluded.
+    ``max_bucket``: optional skew guard — drop buckets wider than this before
+    the self-join (see operators.skew.cap_buckets).
+    """
+    buckets = _lsh_buckets(df, id_col, text_col, shingle_k, n_perm, band_size)
     if max_bucket is not None:
         from .skew import cap_buckets
 
@@ -285,3 +301,53 @@ def line_dedup(
         F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
         F.count(F.lit(1)).alias("n_lines_total"),
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    standing_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_perm: int = 8,
+    band_size: int = 2,
+    near_dup: bool = True,
+) -> DataFrame:
+    """Snapshot-delta dedup against a STANDING corpus: the rows of
+    ``new_df`` that are neither exact nor (optionally) LSH-near duplicates
+    of anything in ``standing_df``.
+
+    The 10^12-document production shape: a new crawl snapshot is deduped
+    against the accumulated corpus WITHOUT re-pairing the corpus with
+    itself. Exact = md5(text) anti-join (NULL text never matches — same
+    rule as ``dedup_exact``). Near-dup = the same banded MinHash buckets
+    as ``minhash_lsh_pairs``, but joined new-vs-standing: the standing
+    side reduces to its DISTINCT bucket keys, so the join is a semi-join
+    whose output is bounded by the NEW side's bucket rows — no self-join,
+    no quadratic bucket blowup, no skew cap needed (a boilerplate bucket
+    in standing drops the new docs that share it, which is the semantics).
+
+    Plan: two anti-joins on the new side (digest, then id) + one bucket
+    semi-join; the standing corpus is scanned once per stage and never
+    shuffled against itself. Dedup WITHIN the snapshot remains
+    ``dedup_exact`` / ``minhash_lsh_pairs``, composed before or after.
+    """
+    digest = F.md5(F.col(text_col))
+    standing_digests = standing_df.select(digest.alias("_sd")).distinct()
+    survivors = new_df.withColumn("_nd", digest).join(
+        standing_digests, F.col("_nd") == F.col("_sd"), "left_anti"
+    ).drop("_nd")
+    if near_dup:
+        new_buckets = _lsh_buckets(
+            survivors, id_col, text_col, shingle_k, n_perm, band_size
+        )
+        standing_buckets = _lsh_buckets(
+            standing_df, id_col, text_col, shingle_k, n_perm, band_size
+        ).select("bucket").distinct()
+        drop_ids = (
+            new_buckets.join(standing_buckets, "bucket", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        survivors = survivors.join(drop_ids, id_col, "left_anti")
+    return survivors

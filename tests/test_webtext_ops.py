@@ -412,3 +412,35 @@ def test_pack_chunks_one_exchange_and_shard_determinism(spark):
     for rows_ in by_pack.values():
         rows_.sort()
         assert rows_[0][3] < 32  # first chunk of a pack starts inside it
+
+
+def test_dedup_incremental_exact_near_and_null(spark):
+    from grandine_spark.operators.dedup import dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    standing = spark.createDataFrame(
+        [(0, base), (2, "completely different standing content here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),  # exact duplicate of standing 0 -> dropped
+            (3, base + " extra"),  # near-dup (shares most shingles) -> dropped
+            (5, "unrelated fresh snapshot words nothing shared at all"),
+            (7, None),  # NULL text: never an exact match, no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id
+        for r in dedup_incremental(new, standing, n_perm=4, band_size=2).collect()
+    }
+    assert got == {5, 7}
+    # near_dup=False keeps the near-duplicate (exact check only)
+    got2 = {
+        r.doc_id
+        for r in dedup_incremental(
+            new, standing, n_perm=4, band_size=2, near_dup=False
+        ).collect()
+    }
+    assert got2 == {3, 5, 7}
