@@ -737,6 +737,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.md5("text").alias("digest"))
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip normalization (the pre-hashing step):
+    every document decorated with a decomposed accent (e + U+0301) and a
+    BEL control so normalization does real work; both engines compare the
+    normalized text's md5 and char lengths (NFC composes 2 codepoints to
+    1, the strip removes the control)."""
+    from grandine_spark.functions.text import normalize_text
+
+    deco = F.concat(F.lit("Cafe\u0301\x07 "), F.col("text"))
+    norm = normalize_text(deco)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(deco).cast("long").alias("len_raw"),
+        F.length(norm).cast("long").alias("len_norm"),
+        F.md5(norm).alias("digest"),
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: fixed-token windows (12 tokens, stride 8)
     over the documents table — pure Catalyst (tokenize → sequence →
@@ -2212,6 +2230,22 @@ FROM documents
 """
 
 
+def _oracle_normalize_text() -> str:
+    return r"""
+WITH deco AS (
+  SELECT doc_id, 'Cafe' || chr(769) || chr(7) || ' ' || text AS raw
+  FROM documents),
+n AS (
+  SELECT doc_id, raw,
+         regexp_replace(nfc_normalize(raw),
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS norm
+  FROM deco)
+SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_norm,
+       md5(norm) AS digest
+FROM n
+"""
+
+
 _CHUNK_CTE = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
@@ -2744,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pack_chunks": q_pack_chunks,
         "dedup_incremental": q_dedup_incremental,
+        "normalize_text": q_normalize_text,
         "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
@@ -2882,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _oracle_chunk_docs(),
         "pack_chunks": _oracle_pack_chunks(),
         "dedup_incremental": _oracle_dedup_incremental(),
+        "normalize_text": _oracle_normalize_text(),
         "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),

@@ -343,3 +343,28 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= m)
         .select(id_col, "token", "tfidf", "rank")
     )
+
+
+# --- unicode normalization -------------------------------------------------
+
+# C0 controls minus \t \n \r, plus DEL — the bytes that break tokenizers and
+# make visually-identical texts hash differently. C1 (\x80-\x9f) left alone:
+# regex semantics over UTF-8 differ between engines there.
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Unicode NFC normalization + control-character strip — the canonical
+    first step before any hashing/dedup/tokenization pass (decomposed
+    accents and stray controls otherwise make visually-identical documents
+    hash apart). Arrow-vectorized pandas UDF (pandas ``Series.str.normalize``
+    is C-accelerated); the ONLY non-native expression in this module, because
+    Spark SQL has no NFC builtin. Exact DuckDB oracle:
+    ``regexp_replace(nfc_normalize(x), '[ctrl class]', '', 'g')``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc_strip(s):  # pd.Series -> pd.Series
+        return s.str.normalize("NFC").str.replace(_CTRL_RE, "", regex=True)
+
+    return _nfc_strip(text)

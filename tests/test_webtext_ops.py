@@ -444,3 +444,23 @@ def test_dedup_incremental_exact_near_and_null(spark):
         ).collect()
     }
     assert got2 == {3, 5, 7}
+
+
+def test_normalize_text_nfc_and_control_strip(spark):
+    import unicodedata
+
+    from grandine_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "Café\x07 ok\ttab\nline"),  # decomposed accent + BEL
+        (2, None),
+        (3, "plain ascii"),
+        (4, "\x00\x1f\x7fedges"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.n for r in df.select("id", normalize_text(F.col("t")).alias("n")).collect()}
+    assert got[1] == "Café ok\ttab\nline"  # composed, BEL gone, \t \n kept
+    assert got[1][3] == "é" and unicodedata.is_normalized("NFC", got[1])
+    assert got[2] is None
+    assert got[3] == "plain ascii"
+    assert got[4] == "edges"
