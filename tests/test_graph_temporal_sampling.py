@@ -476,3 +476,39 @@ def test_pagerank_mass_and_structure(spark):
     pr4 = {r.node: r.rank for r in pagerank(n2, e_leaky, n_iter=15).collect()}
     assert abs(sum(pr4.values()) - 1.0) < 1e-9
     assert set(pr4) == {0, 1}
+
+
+def test_cc_seeded_differ_vs_union_find(spark):
+    """Seeded adversarial differ: random graphs (sparse, dense, many
+    singleton-ish edges, long chains mixed with hubs) vs a pure-python
+    union-find. Any propagation/pointer-jumping bug that mislabels one
+    node breaks the exact dict equality."""
+    import random
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 80), (3, 200, 120), (4, 60, 59)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        # seed 4: force a worst-case long chain through the random edges
+        if seed == 4:
+            pairs += [(1000 + i, 1000 + i + 1) for i in range(30)]
+        assert _cc(spark, pairs) == union_find(pairs)
