@@ -737,6 +737,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.md5("text").alias("digest"))
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection over the same chain+bridge
+    cluster graph as `dedup_clusters`: per cluster keep the LONGEST doc
+    (score = n_chars, tie-break min id) instead of the min id — the
+    keep/drop policy production pipelines actually ship."""
+    from grandine_spark.operators.graph import keep_best_duplicates
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    chain = d.filter((F.col("doc_id") < 399) & (F.col("doc_id") % 10 != 9)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    bridge = d.filter((F.col("doc_id") % 100 == 55) & (F.col("doc_id") < 300)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100).alias("id_b")
+    )
+    kept = keep_best_duplicates(
+        _docs(spark, sf_dir), chain.union(bridge), score="n_chars"
+    )
+    return kept.select("doc_id", "cluster_id", "n_chars")
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + control-strip normalization (the pre-hashing step):
     every document decorated with a decomposed accent (e + U+0301) and a
@@ -2631,6 +2651,31 @@ FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
 """
 
 
+def _oracle_keep_best() -> str:
+    return """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+  WHERE doc_id < 399 AND doc_id % 10 <> 9
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 100 AS b FROM documents
+  WHERE doc_id % 100 = 55 AND doc_id < 300),
+ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM ed),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT ed.b, reach.r FROM ed JOIN reach ON ed.a = reach.node),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY COALESCE(comp.component, d.doc_id)
+           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+SELECT doc_id, cluster_id, n_chars FROM labeled WHERE rn = 1
+"""
+
+
 def _oracle_track_stats() -> str:
     hav = _HAVERSINE_SQL.format(lon1="plon", lat1="plat", lon2="lon", lat2="lat")
     return f"""
@@ -2779,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "dedup_incremental": q_dedup_incremental,
         "normalize_text": q_normalize_text,
+        "keep_best": q_keep_best,
         "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
@@ -2918,6 +2964,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _oracle_pack_chunks(),
         "dedup_incremental": _oracle_dedup_incremental(),
         "normalize_text": _oracle_normalize_text(),
+        "keep_best": _oracle_keep_best(),
         "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),

@@ -206,3 +206,46 @@ def pagerank(
     finally:
         e.unpersist()
         deg.unpersist()
+
+
+def keep_best_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The deduplicated corpus with a QUALITY-aware keeper: per near-dup
+    cluster, keep the row maximizing ``score`` (tie-break: min id), not
+    the min-id row — what production pipelines actually ship (keep the
+    longest / highest-quality variant of each duplicate cluster).
+    ``score`` is a Column or column name evaluated over ``docs``;
+    singletons (docs in no pair) are always kept.
+
+    Plan: cluster labels from the log-round closure + ONE rank window per
+    cluster. The window's partition count = number of clusters, dominated
+    by singletons — no skew beyond the largest dup cluster, and the docs
+    table shuffles once on cluster_id.
+    """
+    from pyspark.sql import Window
+
+    score_col = F.col(score) if isinstance(score, str) else score
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "node", "_kb_node"
+    )
+    labeled = (
+        docs.withColumn("_kb_score", score_col)
+        .join(comp, F.col(id_col) == F.col("_kb_node"), "left")
+        .withColumn("_kb_cluster", F.coalesce("component", F.col(id_col)))
+        .drop("_kb_node", "component")
+    )
+    w = Window.partitionBy("_kb_cluster").orderBy(
+        F.desc("_kb_score"), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("_kb_rn", F.row_number().over(w))
+        .filter(F.col("_kb_rn") == 1)
+        .withColumnRenamed("_kb_cluster", "cluster_id")
+        .drop("_kb_rn", "_kb_score")
+    )

@@ -512,3 +512,31 @@ def test_cc_seeded_differ_vs_union_find(spark):
         if seed == 4:
             pairs += [(1000 + i, 1000 + i + 1) for i in range(30)]
         assert _cc(spark, pairs) == union_find(pairs)
+
+
+def test_keep_best_duplicates_quality_keeper(spark):
+    from grandine_spark.operators.graph import keep_best_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10, "short"),
+            (2, 99, "the long one"),  # best of cluster {1,2,3}
+            (3, 99, "tie loses to min id 2"),  # same score, higher id
+            (7, 5, "singleton stays"),
+            (8, 1, "pair a"),
+            (9, 2, "pair b best"),
+        ],
+        "doc_id long, quality long, text string",
+    )
+    pairs = _edges(spark, [(1, 2), (2, 3), (8, 9)])
+    kept = {
+        r.doc_id: (r.cluster_id, r.quality)
+        for r in keep_best_duplicates(docs, pairs, score="quality").collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie on 99 -> min id 2 wins; {8,9}: 9 wins
+    assert kept == {2: (1, 99), 7: (7, 5), 9: (8, 2)}
+    # original columns survive the filter
+    row = keep_best_duplicates(docs, pairs, score="quality").filter(
+        F.col("doc_id") == 2
+    ).collect()[0]
+    assert row.text == "the long one"
