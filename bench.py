@@ -630,6 +630,19 @@ def main():
             lambda: dedup_exact(big, id_col="url", text_col="text").count()
         )
 
+        # chunk + pack the full 64M-page corpus: the chunker is map-side
+        # (scales with splits), the packer one shard exchange + window
+        from grandine_spark.operators.chunking import chunk_documents, pack_chunks
+
+        sf1["chunk_pack_sec"], sf1["chunk_rows"] = sf1_timed(
+            lambda: pack_chunks(
+                chunk_documents(big, id_col="url", chunk_tokens=128),
+                seq_len=2048,
+                id_col="url",
+                n_shards=64,
+            ).count()
+        )
+
         feats10 = synth.features(
             spark, n_polygons=2000, n_roads=1000, n_pois=2000
         )
