@@ -41,7 +41,7 @@ def _build_pyfiles_zip(dest: str) -> str:
     return zpath
 
 
-def _submit(script: str, zpath: str, warehouse: str) -> dict:
+def _submit(script: str, zpath: str, warehouse: str, cores: int = 4) -> dict:
     env = dict(os.environ)
     env.setdefault("PYSPARK_PYTHON", sys.executable)
     env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
@@ -49,11 +49,11 @@ def _submit(script: str, zpath: str, warehouse: str) -> dict:
     proc = subprocess.run(
         [
             SPARK_SUBMIT,
-            "--master", "local[4]",
+            "--master", f"local[{cores}]",
             "--py-files", zpath,
             script,
             "--n-pages", "1500",
-            "--cores", "4",
+            "--cores", str(cores),
             "--zooms", "2,5",
             "--warehouse", warehouse,
         ],
@@ -91,9 +91,11 @@ def test_spark_submit_pyfiles_and_resume(tmp_path):
     stages = {d for d in os.listdir(wh) if not d.startswith("_")}
     assert {"geocoded", "join_rows", "tiles"} <= stages
 
-    # second submit against the same warehouse: resumes from checkpoints,
-    # identical counts (byte-identity of a resumed run is covered in
-    # test_checkpoint_resume at the API level)
-    stats2 = _submit(str(staged), zpath, wh)
+    # second submit against the same warehouse AND at 4x the parallelism
+    # (local[16] vs local[4] — the north rule's N vs 4N executors): the
+    # same wheel artifact runs at both cluster sizes, resumes from the
+    # checkpoints, and reports identical counts (byte-identity of a
+    # resumed run is covered in test_checkpoint_resume at the API level)
+    stats2 = _submit(str(staged), zpath, wh, cores=16)
     for k in ("geocoded", "join_rows", "assignments", "tiles"):
         assert stats2[k] == stats[k], k
