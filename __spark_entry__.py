@@ -737,6 +737,39 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.md5("text").alias("digest"))
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl/train URL hygiene (functions/url.py:url_filter_reason):
+    deterministic URLs exercising every rule — non-http scheme, binary
+    extension, deny-listed registered domain, crawler-trap path depth and
+    over-long query — classified to the first failing rule, NULL = keep;
+    the oracle runs the generated SQL twin with the same RE2 patterns."""
+    from grandine_spark.functions.url import url_filter_reason
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 19 == 0, F.lit("ftp")).otherwise(F.lit("https")),
+        F.lit("://site"),
+        (i % 40).cast("string"),
+        F.when(i % 11 == 0, F.lit(".blocked.com")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.lit("/p"),
+        F.when(i % 13 == 0, F.expr("repeat('/seg', 15)")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("/img.JPG")).otherwise(F.lit("/page.html")),
+        F.when(i % 17 == 0, F.concat(F.lit("?q="), F.expr("repeat('z', 300)"))).otherwise(
+            F.lit("")
+        ),
+    )
+    reason = url_filter_reason(url, deny_domains=("blocked.com",))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        reason.alias("reason"),
+        reason.isNull().cast("long").alias("allowed"),
+    )
+
+
 def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup keeper selection over the same chain+bridge
     cluster graph as `dedup_clusters`: per cluster keep the LONGEST doc
@@ -2651,6 +2684,28 @@ FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
 """
 
 
+def _oracle_url_filter() -> str:
+    from grandine_spark.functions.url import url_filter_reason_sql
+
+    reason = url_filter_reason_sql("url", deny_domains=("blocked.com",))
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 19 = 0 THEN 'ftp' ELSE 'https' END)
+    || '://site' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 11 = 0 THEN '.blocked.com' ELSE '.example.com' END)
+    || '/p'
+    || (CASE WHEN doc_id % 13 = 0 THEN repeat('/seg', 15) ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '/img.JPG' ELSE '/page.html' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN '?q=' || repeat('z', 300) ELSE '' END)
+    AS url
+  FROM documents)
+SELECT doc_id, url, {reason} AS reason,
+       CAST(CASE WHEN ({reason}) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS allowed
+FROM raw
+"""
+
+
 def _oracle_keep_best() -> str:
     return """
 WITH RECURSIVE e0 AS (
@@ -2825,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "normalize_text": q_normalize_text,
         "keep_best": q_keep_best,
+        "url_filter": q_url_filter,
         "mjpeg_frames": q_mjpeg_frames,
         "cell_pyramid": q_cell_pyramid,
         "weighted_sample": q_weighted_sample,
@@ -2965,6 +3021,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _oracle_dedup_incremental(),
         "normalize_text": _oracle_normalize_text(),
         "keep_best": _oracle_keep_best(),
+        "url_filter": _oracle_url_filter(),
         "mjpeg_frames": _oracle_mjpeg_frames(),
         "cell_pyramid": _oracle_cell_pyramid(),
         "weighted_sample": _oracle_weighted_sample(),

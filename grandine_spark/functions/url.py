@@ -135,3 +135,75 @@ def url_sql_parts(url: str) -> dict[str, str]:
         f"WHEN {last2} <> '' THEN {last2} ELSE {host} END"
     )
     return {"host": host, "port": port, "norm_url": norm, "reg_domain": reg}
+
+
+# --- crawl/train URL hygiene ----------------------------------------------
+
+# media / binary / asset extensions that carry no trainable text
+_BIN_EXT_RE = (
+    r"(?i)\.(jpe?g|png|gif|webp|bmp|tiff?|mp4|avi|mov|mkv|webm|mp3|wav|ogg|"
+    r"flac|pdf|zip|gz|tar|rar|7z|exe|dmg|iso|css|js|ico|svg|woff2?|ttf|eot)$"
+)
+# crawler-trap heuristics (calendar pages, faceted search, session ids)
+_MAX_URL_LEN = 2000
+_MAX_PATH_DEPTH = 12
+_MAX_QUERY_LEN = 256
+
+
+def url_filter_reason(url: Column, deny_domains: tuple[str, ...] = ()) -> Column:
+    """Pre-fetch / pre-train URL hygiene: NULL when the URL is keepable,
+    else the FIRST failing rule's name — 'scheme' (not http/https),
+    'extension' (binary/media/asset path), 'denied_domain' (registered
+    domain in the deny list), 'trap' (over-long URL / path depth > 12 /
+    query > 256 chars — the crawler-trap shapes). All native RE2-safe
+    expressions with an exact SQL twin (``url_filter_reason_sql``).
+
+    ``deny_domains`` inlines as an IN predicate — right for list-sized
+    blocklists; at 10^6+ entries use a broadcast anti-join on
+    ``registered_domain`` instead (same key, same semantics)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = url_host(url)
+    pathq = F.regexp_extract(url, _PATHQ_RE, 1)
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    depth = F.size(F.split(path, "/")) - 1
+    denied = (
+        registered_domain(host).isin(*deny_domains)
+        if deny_domains
+        else F.lit(False)
+    )
+    return (
+        F.when(~scheme.isin("http", "https"), F.lit("scheme"))
+        .when(path.rlike(_BIN_EXT_RE), F.lit("extension"))
+        .when(denied, F.lit("denied_domain"))
+        .when(
+            (F.length(url) > _MAX_URL_LEN)
+            | (depth > _MAX_PATH_DEPTH)
+            | (F.length(query) > _MAX_QUERY_LEN),
+            F.lit("trap"),
+        )
+    )
+
+
+def url_filter_reason_sql(url: str, deny_domains: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of :func:`url_filter_reason` over expression ``url``."""
+    p = url_sql_parts(url)
+    scheme = f"lower(regexp_extract({url}, '{_SCHEME_RE}', 1))"
+    pathq = f"regexp_extract({url}, '{_PATHQ_RE}', 1)"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    query = f"regexp_extract({pathq}, '\\?(.*)$', 1)"
+    depth = f"(len(string_split({path}, '/')) - 1)"
+    ext_re = _BIN_EXT_RE.replace("'", "''")
+    denied = (
+        f"{p['reg_domain']} IN ({', '.join(repr(d) for d in deny_domains)})"
+        if deny_domains
+        else "FALSE"
+    )
+    return (
+        f"CASE WHEN {scheme} NOT IN ('http', 'https') THEN 'scheme' "
+        f"WHEN regexp_matches({path}, '{ext_re}') THEN 'extension' "
+        f"WHEN {denied} THEN 'denied_domain' "
+        f"WHEN length({url}) > {_MAX_URL_LEN} OR {depth} > {_MAX_PATH_DEPTH} "
+        f"OR length({query}) > {_MAX_QUERY_LEN} THEN 'trap' "
+        f"ELSE NULL END"
+    )

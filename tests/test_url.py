@@ -75,3 +75,35 @@ def test_port_extraction(spark):
     )
     got = [r.p for r in df.select(url_port(F.col("url")).alias("p")).collect()]
     assert got == ["8080", ""]
+
+
+def test_url_filter_reason_rules(spark):
+    from grandine_spark.functions.url import url_filter_reason
+
+    cases = [
+        (1, "https://ok.example.com/a/b/page.html", None),
+        (2, "ftp://files.example.com/x", "scheme"),
+        (3, "https://cdn.example.com/img/photo.JPEG", "extension"),
+        (4, "https://www.blocked.com/fine/path", "denied_domain"),
+        (5, "https://t.example.com" + "/s" * 13, "trap"),
+        (6, "https://q.example.com/p?x=" + "y" * 300, "trap"),
+        # precedence: scheme beats extension beats domain
+        (7, "ftp://blocked.com/a.jpg", "scheme"),
+        (8, "https://blocked.com/a.zip", "extension"),
+        # extension must be at end of PATH — a query after it still matches
+        (9, "https://e.example.com/a.pdf?dl=1", "extension"),
+        # .html / unknown extensions pass
+        (10, "https://e.example.com/a.xhtml", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {
+        r.id: r.reason
+        for r in df.select(
+            "id",
+            url_filter_reason(F.col("url"), deny_domains=("blocked.com",)).alias(
+                "reason"
+            ),
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
