@@ -1189,6 +1189,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(d).select("doc_id", "text", "n_lines_kept", "n_lines_total")
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022 window-hash pass):
+    5-token windows, corpus-wide occurrence >= 2 marks a duplicated span,
+    overlapping spans merged per document. The documents table's built-in
+    near-duplicate pairs guarantee non-trivial coverage; unique-body docs
+    report zero."""
+    from grandine_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(_docs(spark, sf_dir), window=5).select(
+        "doc_id", "n_tokens", "n_windows", "n_dup_windows", "dup_tokens", "dup_frac"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: deterministic emails / IPv4s / phone numbers appended
     to each doc are scrubbed to typed placeholders by the shared
@@ -2801,6 +2814,37 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def _oracle_substring_dedup(window: int = 5) -> str:
+    wm1 = window - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{wm1}], ' ') AS win
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {wm1})) AS i) g
+  WHERE len(t) >= {window}),
+cnts AS (SELECT win, count(*) AS c FROM wins GROUP BY 1),
+j AS (SELECT w.doc_id, w.pos, (c >= 2) AS dup FROM wins w JOIN cnts USING (win)),
+cov AS (SELECT doc_id, count(DISTINCT p) AS dup_tokens
+        FROM j, LATERAL (SELECT UNNEST(generate_series(pos, pos + {wm1})) AS p) u
+        WHERE dup GROUP BY doc_id),
+wstats AS (SELECT doc_id, count(*) AS n_windows,
+                  sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup_windows
+           FROM j GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(w.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(w.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+             / (CASE WHEN t.n_tokens > 0 THEN t.n_tokens ELSE 1 END), 6) AS dup_frac
+FROM toks t LEFT JOIN wstats w USING (doc_id) LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def _oracle_redact_pii() -> str:
     from grandine_spark.functions.text import pii_redaction_sql
 
@@ -2865,9 +2909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-3 additions that had never had a driver row, 19-20 keep the
     # streaming queries continuously certified (green r1/r2), 21 is the new
     # LSH-path certification, and the rest of the window holds the queries
-    # touched this round or scale-critical enough to re-certify. The tail
-    # (51+) is long-certified (green in r1-r3) and regression-protected by
-    # tests/test_entry_oracles.py, which checks ALL entries, not just 50.
+    # touched this round or scale-critical enough to re-certify (including
+    # the late-r4 substring_dedup — the Lee-et-al exact-substring pass). The
+    # tail (51+) is long-certified (green in r1-r3) and regression-protected
+    # by tests/test_entry_oracles.py, which checks ALL entries, not just 50.
     return {
         "thumbnail_stats": q_thumbnail_stats,
         "gif_stats": q_gif_stats,
@@ -2893,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "hash_sample": q_hash_sample,
         "line_dedup": q_line_dedup,
+        "substring_dedup": q_substring_dedup,
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
@@ -3034,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": _oracle_quota_sample(),
         "hash_sample": _oracle_hash_sample(),
         "line_dedup": _oracle_line_dedup(),
+        "substring_dedup": _oracle_substring_dedup(),
         "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),

@@ -351,3 +351,92 @@ def dedup_incremental(
         )
         survivors = survivors.join(drop_ids, id_col, "left_anti")
     return survivors
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication statistics (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" pass,
+    window-hash formulation): slide a ``window``-token window over every
+    document, find windows whose exact text occurs >= 2 times anywhere in
+    the corpus (other documents OR elsewhere in the same one), and report
+    per document how much of it is covered by duplicated spans.
+
+    Returns one row per input document:
+    (id_col, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_frac)
+    where ``dup_tokens`` is the count of DISTINCT token positions covered
+    by at least one duplicated window (overlapping windows merged) and
+    ``dup_frac = dup_tokens / n_tokens``. Documents shorter than ``window``
+    tokens come back with zero counts, not dropped — downstream filters
+    decide their fate (same contract as :func:`line_dedup`).
+
+    Scale (100 TB): tokenization and window emission are map-side
+    (`word_shingles`, JVM-only). The corpus-wide occurrence count is a
+    groupBy on the window text — map-side partial aggregation collapses the
+    boilerplate skew case (one navbar string in 10^9 docs is ONE row per
+    map task into the shuffle), which is why this is a groupBy + equi-join
+    back rather than a `count() over (partition by win)` window function:
+    WindowExec would buffer (and spill) the entire 10^9-row hot partition.
+    Span merging is a native array fold over the per-document sorted start
+    positions (bounded by document length), not an explode of every covered
+    position — no W-times row blowup. No driver participation, no collect.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    wins = df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.posexplode_outer(TXT.word_shingles(F.col(text_col), window)).alias(
+            "pos", "win"
+        ),
+    )
+    # corpus-wide occurrence count per distinct window text (partial-agg
+    # friendly), then a win-equi join to flag each occurrence. The join is
+    # co-partitioned with the groupBy output; AQE broadcasts `dup` when the
+    # duplicated-window universe is small.
+    dup = (
+        wins.filter(F.col("win").isNotNull())
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("win", F.lit(True).alias("_dup"))
+    )
+    flagged = wins.join(dup, "win", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.col("win")).alias("n_windows"),
+        F.sum(F.when(F.col("_dup"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_dup_windows"
+        ),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_dup"), F.col("pos")))
+        ).alias("_starts"),
+    )
+    # merged coverage of [s, s+window) intervals over sorted starts:
+    # sum(min(window, next-prev)) + window for the last interval — exactly
+    # the count of distinct covered token positions.
+    m = F.size("_starts")
+    gaps = F.zip_with(
+        F.slice(F.col("_starts"), 1, m - 1),
+        F.slice(F.col("_starts"), 2, m - 1),
+        lambda a, b: F.least(b - a, F.lit(window)),
+    )
+    coverage = F.when(m == 0, F.lit(0)).otherwise(
+        F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + F.lit(window)
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_windows"),
+        F.col("n_dup_windows"),
+        coverage.cast("long").alias("dup_tokens"),
+        F.round(
+            coverage.cast("double")
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+    )

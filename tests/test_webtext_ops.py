@@ -499,3 +499,73 @@ def test_chunk_documents_lossless_reassembly(spark):
         assert [c[0] for c in chunks] == list(range(len(chunks)))
         assert sum(c[1] for c in chunks) == len(toks)
         assert " ".join(c[2] for c in chunks) == " ".join(toks)
+
+
+def test_substring_dup_stats_matches_bruteforce(spark):
+    """Seeded differ: substring_dup_stats equals a brute-force python
+    computation (window counts over the whole corpus, merged interval
+    coverage) on a corpus engineered for every edge: cross-doc shared spans,
+    self-repetition inside one doc, overlapping and disjoint dup spans,
+    docs shorter than the window, and empty text."""
+    import random
+    from collections import Counter
+
+    from grandine_spark.operators.dedup import substring_dup_stats
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> natural collisions
+    rows = []
+    for i in range(80):
+        n = rng.choice([0, 2, 4, 5, 9, 20, 35])
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if i % 7 == 0 and n >= 10:
+            toks[2:7] = ["shared", "span", "of", "five", "tokens"]
+        if i % 11 == 0 and n >= 12:
+            toks[-5:] = toks[:5]  # self-repeat
+        rows.append((i, " ".join(toks)))
+    W = 5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.n_dup_windows, r.dup_tokens, r.dup_frac)
+        for r in substring_dup_stats(docs, window=W).collect()
+    }
+
+    toks = {d: (t.strip().lower().split() if t.strip() else []) for d, t in rows}
+    wins = {
+        d: [" ".join(t[i : i + W]) for i in range(len(t) - W + 1)]
+        for d, t in toks.items()
+    }
+    cnt = Counter(w for ws in wins.values() for w in ws)
+    assert set(got) == set(toks)
+    for d, t in toks.items():
+        starts = [i for i, w in enumerate(wins[d]) if cnt[w] >= 2]
+        cov = set()
+        for s in starts:
+            cov.update(range(s, s + W))
+        want = (
+            len(t),
+            len(wins[d]),
+            len(starts),
+            len(cov),
+            round(len(cov) / max(len(t), 1), 6),
+        )
+        assert got[d] == want, (d, got[d], want)
+    # the engineered corpus must actually exercise the dup paths
+    assert any(g[2] > 0 for g in got.values())
+    assert any(g[1] > 0 and g[2] == 0 for g in got.values())
+
+
+def test_substring_dup_stats_plan_uses_partial_agg_not_window(spark):
+    """The corpus-wide occurrence count must be a groupBy (map-side partial
+    aggregation collapses boilerplate skew) joined back — NOT a count() over
+    a win-partitioned window, which would buffer the hottest window's entire
+    partition. Assert the physical plan has no Window operator and does have
+    a partial/final HashAggregate pair on the window text."""
+    from grandine_spark.operators.dedup import substring_dup_stats
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = substring_dup_stats(docs, window=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan.split("AdaptiveSparkPlan")[0].replace(
+        "WindowGroupLimit", ""
+    ), plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
