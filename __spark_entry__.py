@@ -1202,6 +1202,17 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: unigram model self-trained on the
+    corpus token stream, per-doc cross-entropy (bits) and perplexity.
+    Docs made of common tokens score low; rare-token-heavy docs high."""
+    from grandine_spark.operators.quality import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "cross_entropy", "perplexity"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: deterministic emails / IPv4s / phone numbers appended
     to each doc are scrubbed to typed placeholders by the shared
@@ -2845,6 +2856,27 @@ FROM toks t LEFT JOIN wstats w USING (doc_id) LEFT JOIN cov c USING (doc_id)
 """
 
 
+def _oracle_lm_perplexity() -> str:
+    return """
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+model AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+n AS (SELECT count(*) AS nm FROM tk),
+sc AS (SELECT t.doc_id,
+              log2(CAST(nm AS DOUBLE)) - log2(CAST(c AS DOUBLE)) AS nll
+       FROM tk t JOIN model USING (tok) CROSS JOIN n),
+agg AS (SELECT doc_id, count(*) AS n_tokens, avg(nll) AS h FROM sc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(a.h, 6) AS cross_entropy,
+       round(pow(2.0, a.h), 6) AS perplexity
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _oracle_redact_pii() -> str:
     from grandine_spark.functions.text import pii_redaction_sql
 
@@ -2939,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
@@ -3081,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _oracle_hash_sample(),
         "line_dedup": _oracle_line_dedup(),
         "substring_dedup": _oracle_substring_dedup(),
+        "lm_perplexity": _oracle_lm_perplexity(),
         "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),

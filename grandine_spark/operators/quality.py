@@ -155,3 +155,77 @@ def repetition_stats(
             | (F.col("dup_5gram_frac") > max_dup_5gram_frac)
         ).alias("is_repetitive"),
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+) -> DataFrame:
+    """CCNet/KenLM-style language-model quality score, unigram formulation:
+    train a unigram token model on ``model_df`` (default: the corpus itself)
+    and score every document by cross-entropy under it — the standard
+    quality-bucketing signal (low perplexity = looks like the reference
+    corpus; high = boilerplate soup, lists, noise).
+
+    Model: p(tok) = c(tok) / N over the whitespace-lowercase token stream,
+    with unseen tokens (possible only when ``model_df`` is a separate
+    reference corpus) backed off to 1 / N. Per document:
+    ``cross_entropy = -(1/n) Σ log2 p(tok_i)``, ``perplexity = 2^H``.
+
+    Returns (id_col, n_tokens, cross_entropy, perplexity), both scores
+    rounded to 6 dp; empty documents score NULL.
+
+    Scale (100 TB): the model is ONE groupBy over exploded tokens
+    (map-side partial agg collapses Zipf skew the same way it collapses
+    boilerplate in :func:`substring_dup_stats`); scoring is an equi-join of
+    the exploded corpus against the model keyed by token — natural-language
+    vocabularies are ~10^6-10^8 rows even at web scale (Heaps' law), so AQE
+    broadcasts the model side, leaving tokenize → broadcast-join → one
+    groupBy(doc) shuffle. log2 stays in codegen; no Python anywhere.
+    """
+    toks_src = model_df if model_df is not None else df
+    tcol = model_text_col or text_col
+    model_toks = toks_src.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(tcol))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    model = model_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    # total N via a 1-row aggregate joined in by cross join (broadcast, free)
+    total = model_toks.select(F.count(F.lit(1)).alias("_n_model"))
+
+    doc_toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    scored = (
+        doc_toks.join(model, "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            # -log2 p with 1/N backoff for OOV (c is NULL on OOV);
+            # log(N/c) = log N - log c keeps both operands exact longs
+            F.when(
+                F.col("tok").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                (
+                    F.log2(F.col("_n_model").cast("double"))
+                    - F.log2(F.coalesce(F.col("_c"), F.lit(1)).cast("double"))
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.col("tok")).alias("n_tokens"),
+        F.round(F.avg("_nll"), 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.avg("_nll")), 6).alias("perplexity"),
+    )

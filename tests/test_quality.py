@@ -73,3 +73,64 @@ def test_repetition_stats_known_values(spark):
     assert abs(out[3].dup_5gram_frac - 0.75) < 1e-12
     assert abs(out[3].top_bigram_frac - 1.0) < 1e-12
     assert out[3].is_repetitive
+
+
+def test_lm_perplexity_matches_bruteforce_incl_oov(spark):
+    """Seeded differ: lm_perplexity equals the python unigram cross-entropy
+    — self-trained AND with a separate reference model where scored docs
+    contain OOV tokens (backed off to 1/N)."""
+    import math
+    import random
+    from collections import Counter
+
+    from grandine_spark.operators.quality import lm_perplexity
+
+    rng = random.Random(77)
+    vocab = [f"t{i}" for i in range(20)]
+    model_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    score_rows = [
+        (
+            100 + i,
+            " ".join(
+                rng.choice(vocab + ["oovword"]) for _ in range(rng.randint(0, 25))
+            ),
+        )
+        for i in range(30)
+    ] + [(999, ""), (998, "   ")]
+
+    model_df = spark.createDataFrame(model_rows, "doc_id long, text string")
+    score_df = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    cnt = Counter(t for _, txt in model_rows for t in txt.lower().split())
+    N = sum(cnt.values())
+
+    def brute(rows, c, n):
+        out = {}
+        for d, txt in rows:
+            ts = txt.strip().lower().split()
+            if not ts:
+                out[d] = (0, None, None)
+                continue
+            h = -sum(math.log2(c.get(t, 1) / n) for t in ts) / len(ts)
+            out[d] = (len(ts), round(h, 6), round(2**h, 6))
+        return out
+
+    # separate reference model (exercises OOV backoff)
+    got = {
+        r.doc_id: (r.n_tokens, r.cross_entropy, r.perplexity)
+        for r in lm_perplexity(score_df, model_df=model_df).collect()
+    }
+    assert got == brute(score_rows, cnt, N)
+    assert any("oovword" in t for _, t in score_rows)  # OOV path exercised
+
+    # self-trained on its own corpus
+    cnt2 = Counter(t for _, txt in score_rows for t in txt.lower().split())
+    N2 = sum(cnt2.values())
+    got2 = {
+        r.doc_id: (r.n_tokens, r.cross_entropy, r.perplexity)
+        for r in lm_perplexity(score_df).collect()
+    }
+    assert got2 == brute(score_rows, cnt2, N2)
