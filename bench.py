@@ -506,6 +506,26 @@ def main():
         ).count(),
         reps=2,
     )
+    # exact-substring span stats: map-side 8-token windows, occurrence
+    # count via partial-agg groupBy + join-back, per-doc interval fold
+    from grandine_spark.operators.dedup import substring_dup_stats
+    from grandine_spark.operators.quality import lm_perplexity
+
+    timed(
+        "substring_dedup",
+        lambda: substring_dup_stats(
+            hash_sample(sample, 1.0 / 3.0, id_col="url"), id_col="url", window=8
+        ).count(),
+        reps=2,
+    )
+    # unigram LM quality score: model groupBy + broadcast token join
+    timed(
+        "lm_perplexity",
+        lambda: lm_perplexity(
+            hash_sample(sample, 1.0 / 3.0, id_col="url"), id_col="url"
+        ).count(),
+        reps=2,
+    )
     # self as-of join on the zipf-skewed domain key: each fetch gains the
     # previous fetch of the same domain (union + one shuffle + window)
     timed(
