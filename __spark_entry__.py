@@ -1213,6 +1213,21 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language perplexity terciles over the
+    self-trained unigram scores; deterministic (perplexity, doc_id)
+    tie-break; empty docs get NULL bucket."""
+    from grandine_spark.operators.quality import quality_buckets
+
+    return quality_buckets(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "perplexity",
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: deterministic emails / IPv4s / phone numbers appended
     to each doc are scrubbed to typed placeholders by the shared
@@ -2877,6 +2892,34 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _oracle_quality_buckets(n_buckets: int = 3) -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+model AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+n AS (SELECT count(*) AS nm FROM tk),
+sc AS (SELECT t.doc_id,
+              log2(CAST(nm AS DOUBLE)) - log2(CAST(c AS DOUBLE)) AS nll
+       FROM tk t JOIN model USING (tok) CROSS JOIN n),
+agg AS (SELECT doc_id, count(*) AS n_tokens, avg(nll) AS h FROM sc GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         round(pow(2.0, a.h), 6) AS perplexity
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+b AS (SELECT doc_id,
+             NTILE({n_buckets}) OVER (PARTITION BY lang
+                                      ORDER BY perplexity, doc_id) AS bucket
+      FROM scored WHERE perplexity IS NOT NULL)
+SELECT s.doc_id, s.lang, s.n_tokens, s.perplexity,
+       CAST(b.bucket AS BIGINT) AS bucket
+FROM scored s LEFT JOIN b USING (doc_id)
+"""
+
+
 def _oracle_redact_pii() -> str:
     from grandine_spark.functions.text import pii_redaction_sql
 
@@ -2972,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "lm_perplexity": q_lm_perplexity,
+        "quality_buckets": q_quality_buckets,
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
@@ -3115,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _oracle_line_dedup(),
         "substring_dedup": _oracle_substring_dedup(),
         "lm_perplexity": _oracle_lm_perplexity(),
+        "quality_buckets": _oracle_quality_buckets(),
         "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),

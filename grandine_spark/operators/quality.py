@@ -229,3 +229,48 @@ def lm_perplexity(
         F.round(F.avg("_nll"), 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), F.avg("_nll")), 6).alias("perplexity"),
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: score every document with
+    :func:`lm_perplexity` and assign per-language perplexity ``n_buckets``
+    -tiles (bucket 1 = lowest perplexity = highest quality). Ties are broken
+    by ``id_col`` so the assignment is deterministic across partitionings
+    and engines. Documents with NULL perplexity (empty) get bucket NULL.
+
+    Scale (100 TB): one extra shuffle over (lang) for the ntile window on
+    top of lm_perplexity's plan. Languages are a ~10^2-cardinality key with
+    real skew (English half the web) — but the window carries only
+    (id, lang, perplexity) rows, and NTILE streams its partition (rank
+    state only), so the hot language is sort-bound, not memory-bound; at
+    cluster scale the per-language sort is a spillable range sort.
+    """
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(df, id_col=id_col, text_col=text_col).join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("perplexity").asc(), F.col(id_col).asc()
+    )
+    # NTILE's bucket boundaries depend on the partition's ROW COUNT, so the
+    # NULL-perplexity rows must be excluded BEFORE the window (not masked
+    # after) — also sidesteps the Spark-nulls-first vs SQL-nulls-last
+    # ordering divergence.
+    buckets = (
+        scored.filter(F.col("perplexity").isNotNull())
+        .select(F.col(id_col), F.ntile(n_buckets).over(w).alias("bucket"))
+    )
+    return scored.join(buckets, id_col, "left").select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.col("perplexity"),
+        F.col("bucket"),
+    )

@@ -134,3 +134,41 @@ def test_lm_perplexity_matches_bruteforce_incl_oov(spark):
         for r in lm_perplexity(score_df).collect()
     }
     assert got2 == brute(score_rows, cnt2, N2)
+
+
+def test_quality_buckets_deterministic_terciles(spark):
+    """Per-language NTILE semantics: bucket sizes differ by at most one per
+    language, ordering is by (perplexity, id), empty docs get NULL bucket,
+    and a rerun under a different partitioning yields the identical
+    assignment (the deterministic tie-break at work)."""
+    import random
+
+    from grandine_spark.operators.quality import quality_buckets
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(15)]
+    rows = []
+    for i in range(50):
+        lang = ["en", "de", "fr"][i % 3]
+        n = rng.randint(0, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), lang))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    out = quality_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        if r.bucket is None:
+            assert r.perplexity is None
+            continue
+        by_lang.setdefault(r.lang, []).append((r.perplexity, r.doc_id, r.bucket))
+    for lang, items in by_lang.items():
+        items.sort()
+        # buckets are contiguous + non-decreasing in (perplexity, id) order
+        assert [b for _, _, b in items] == sorted(b for _, _, b in items)
+        sizes = [sum(1 for it in items if it[2] == k) for k in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+    rerun = quality_buckets(docs.repartition(7, "lang")).collect()
+    assert {(r.doc_id, r.bucket) for r in rerun} == {
+        (r.doc_id, r.bucket) for r in out
+    }
