@@ -1228,6 +1228,42 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML outlink extraction + resolution: each doc gets a synthetic page
+    with every href shape (absolute, root-relative, relative with ./ and
+    ../, scheme-relative, javascript:, fragment-only), resolved against a
+    per-doc base URL; output is (doc_id, link) exploded from the sorted
+    distinct link set. Feeds url_normalize/registered_domain → pagerank."""
+    from grandine_spark.functions.url import extract_links
+
+    d = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("http://Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/a/b/page"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="/r'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.html">r</a><a href=\'../rel'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.html\'>x</a><a href="http://abs'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('.org/p">a</a><a href="//cdn'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.net/l.js">c</a><a href="sub/./s'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.html#frag">s</a>'
+              '<a href="javascript:void(0)">j</a><a href="#top">t</a>'
+              "</body></html>"),
+    )
+    return d.select(
+        "doc_id", F.explode(extract_links(html, base)).alias("link")
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: deterministic emails / IPv4s / phone numbers appended
     to each doc are scrubbed to typed placeholders by the shared
@@ -2920,6 +2956,29 @@ FROM scored s LEFT JOIN b USING (doc_id)
 """
 
 
+def _oracle_extract_links() -> str:
+    from grandine_spark.functions.url import extract_links_sql
+
+    base = (
+        "('http://Site' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.example.com/a/b/page' || CAST(doc_id AS VARCHAR) || '.html')"
+    )
+    html = (
+        "('<html><body><a href=\"/r' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.html\">r</a><a href=''../rel' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.html''>x</a><a href=\"http://abs' || CAST(doc_id % 9 AS VARCHAR)"
+        " || '.org/p\">a</a><a href=\"//cdn' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.net/l.js\">c</a><a href=\"sub/./s' || CAST(doc_id % 4 AS VARCHAR)"
+        " || '.html#frag\">s</a>"
+        "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>"
+        "</body></html>')"
+    )
+    return f"""
+SELECT doc_id, UNNEST({extract_links_sql(html, base)}) AS link
+FROM documents
+"""
+
+
 def _oracle_redact_pii() -> str:
     from grandine_spark.functions.text import pii_redaction_sql
 
@@ -3016,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "lm_perplexity": q_lm_perplexity,
         "quality_buckets": q_quality_buckets,
+        "extract_links": q_extract_links,
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
@@ -3160,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _oracle_substring_dedup(),
         "lm_perplexity": _oracle_lm_perplexity(),
         "quality_buckets": _oracle_quality_buckets(),
+        "extract_links": _oracle_extract_links(),
         "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),

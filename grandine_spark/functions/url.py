@@ -207,3 +207,121 @@ def url_filter_reason_sql(url: str, deny_domains: tuple[str, ...] = ()) -> str:
         f"OR length({query}) > {_MAX_QUERY_LEN} THEN 'trap' "
         f"ELSE NULL END"
     )
+
+
+# --- link extraction (html -> outlink URLs) --------------------------------
+# RE2-and-Java-compatible patterns shared verbatim by the Column chain and
+# the DuckDB twin (the redact_pii / url_filter convention). Quoted hrefs
+# only (unquoted href=foo is vanishingly rare in real crawls and ambiguous
+# to delimit); non-web schemes dropped; dot-segments resolved by bounded
+# global-replace passes with a conservative drop guard for anything deeper.
+_HREF_DQ_RE = '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]+)"'
+_HREF_SQ_RE = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']+)'"
+_SKIP_SCHEME_RE = "(?i)^(javascript|mailto|data|tel):"
+_ABS_RE = "(?i)^https?://"
+_DOT1_RE = "/\\./"          # /./  -> /      (2 passes: adjacent overlaps)
+_DOTDOT_RE = "/[^/.][^/]*/\\.\\./"  # /seg/../ -> /  (4 passes: 4 levels)
+_DOTGUARD_RE = "/\\.\\.?(/|$)"      # unresolved . or .. anywhere -> drop
+
+
+def extract_links(html: Column, base_url: Column) -> Column:
+    """All outlink URLs of an HTML page as a sorted, de-duplicated
+    ``array<string>``: ``<a href>`` targets (double- or single-quoted),
+    fragments stripped, resolved against ``base_url`` — absolute http(s)
+    kept as-is, scheme-relative ``//h/p`` gains the base scheme,
+    root-relative ``/p`` and relative ``p`` resolve against the base origin
+    / directory with ``/./`` and up to four ``/seg/../`` levels collapsed
+    (deeper or root-escaping dot-segments drop the link rather than emit a
+    malformed URL). ``javascript:``/``mailto:``/``data:``/``tel:`` and
+    empty targets are dropped.
+
+    Dot-segment collapse runs on the PATH ONLY, before the origin is
+    prepended — a global ``/seg/../`` replace over a full URL would eat
+    ``//host/../`` (the host looks like a path segment).
+
+    Everything is a JVM-native expression over the page string — no
+    explode, no shuffle, no Python; pair with ``F.explode`` +
+    ``url_normalize`` + ``registered_domain`` to feed the link graph
+    (operators/graph.py:pagerank). SQL twin: :func:`extract_links_sql`.
+    """
+    scheme = F.lower(F.regexp_extract(base_url, _SCHEME_RE, 1))
+    host = F.lower(url_host(base_url))
+    origin = F.concat(scheme, F.lit("://"), host)
+    path = F.regexp_extract(F.regexp_extract(base_url, _PATHQ_RE, 1), "^([^?]*)", 1)
+    # directory of the base path: strip the last segment; '' -> '/'
+    basedir = F.regexp_replace(path, "[^/]*$", "")
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+
+    cands = F.concat(
+        F.regexp_extract_all(html, F.lit(_HREF_DQ_RE), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_SQ_RE), F.lit(1)),
+    )
+
+    def _collapse(p: Column) -> Column:
+        for pat in (_DOT1_RE, _DOT1_RE, _DOTDOT_RE, _DOTDOT_RE, _DOTDOT_RE,
+                    _DOTDOT_RE):
+            p = F.regexp_replace(p, pat, "/")
+        return p
+
+    def _resolve(u0: Column) -> Column:
+        u = F.regexp_replace(F.trim(u0), "#.*$", "")
+        rel = _collapse(
+            F.when(u.startswith("/"), u).otherwise(F.concat(basedir, u))
+        )
+        return (
+            F.when(u == "", F.lit(None).cast("string"))
+            .when(u.rlike(_SKIP_SCHEME_RE), F.lit(None).cast("string"))
+            .when(u.rlike(_ABS_RE), u)
+            .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
+            .otherwise(
+                F.when(rel.rlike(_DOTGUARD_RE), F.lit(None).cast("string"))
+                .otherwise(F.concat(origin, rel))
+            )
+        )
+
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(F.transform(cands, _resolve), lambda x: x.isNotNull())
+        )
+    )
+
+
+def extract_links_sql(html: str, base_url: str) -> str:
+    """DuckDB twin of :func:`extract_links` over expressions ``html`` and
+    ``base_url`` (same patterns; regexp_replace needs the 'g' flag to match
+    Java's replace-all)."""
+    p = url_sql_parts(base_url)
+    scheme = f"lower(regexp_extract({base_url}, '{_SCHEME_RE}', 1))"
+    host = p["host"]
+    origin = f"({scheme} || '://' || {host})"
+    pathq = f"regexp_extract({base_url}, '{_PATHQ_RE}', 1)"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    basedir = (
+        f"(CASE WHEN regexp_replace({path}, '[^/]*$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({path}, '[^/]*$', '') END)"
+    )
+    # DuckDB single-quoted literals keep backslashes verbatim — only the
+    # quote character needs escaping (the url_sql_parts convention)
+    dq = _HREF_DQ_RE.replace("'", "''")
+    sq = _HREF_SQ_RE.replace("'", "''")
+    cands = (
+        f"list_concat(regexp_extract_all({html}, '{dq}', 1), "
+        f"regexp_extract_all({html}, '{sq}', 1))"
+    )
+    u = "regexp_replace(trim(x), '#.*$', '', 'g')"
+    rel = f"(CASE WHEN {u} LIKE '/%' THEN {u} ELSE {basedir} || {u} END)"
+    for pat in (_DOT1_RE, _DOT1_RE, _DOTDOT_RE, _DOTDOT_RE, _DOTDOT_RE,
+                _DOTDOT_RE):
+        rel = f"regexp_replace({rel}, '{pat}', '/', 'g')"
+    resolve = (
+        f"(CASE WHEN {u} = '' THEN NULL "
+        f"WHEN regexp_matches({u}, '{_SKIP_SCHEME_RE}') THEN NULL "
+        f"WHEN regexp_matches({u}, '{_ABS_RE}') THEN {u} "
+        f"WHEN {u} LIKE '//%' THEN {scheme} || ':' || {u} "
+        f"WHEN regexp_matches({rel}, '{_DOTGUARD_RE}') THEN NULL "
+        f"ELSE {origin} || {rel} END)"
+    )
+    return (
+        f"list_sort(list_distinct(list_filter("
+        f"list_transform({cands}, x -> {resolve}), x -> x IS NOT NULL)))"
+    )
