@@ -1264,6 +1264,53 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph: the extract_links page set aggregated to
+    (src_domain, dst_domain, n_links) — the chain that feeds pagerank's
+    edge list from raw HTML (extract → resolve → registered_domain →
+    one partial-agg groupBy)."""
+    from grandine_spark.functions.url import (
+        extract_links,
+        registered_domain,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = F.concat(
+        F.lit("http://Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/a/b/page"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="/r'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.html">r</a><a href=\'../rel'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.html\'>x</a><a href="http://abs'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit('.org/p">a</a><a href="//cdn'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.net/l.js">c</a><a href="sub/./s'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.html#frag">s</a>'
+              '<a href="javascript:void(0)">j</a><a href="#top">t</a>'
+              "</body></html>"),
+    )
+    links = d.select(
+        registered_domain(url_host(base)).alias("src_domain"),
+        F.explode(extract_links(html, base)).alias("link"),
+    )
+    return (
+        links.select(
+            "src_domain", registered_domain(url_host(F.col("link"))).alias("dst_domain")
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: deterministic emails / IPv4s / phone numbers appended
     to each doc are scrubbed to typed placeholders by the shared
@@ -2979,6 +3026,36 @@ FROM documents
 """
 
 
+def _oracle_link_graph() -> str:
+    from grandine_spark.functions.url import extract_links_sql, url_sql_parts
+
+    base = (
+        "('http://Site' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.example.com/a/b/page' || CAST(doc_id AS VARCHAR) || '.html')"
+    )
+    html = (
+        "('<html><body><a href=\"/r' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.html\">r</a><a href=''../rel' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.html''>x</a><a href=\"http://abs' || CAST(doc_id % 9 AS VARCHAR)"
+        " || '.org/p\">a</a><a href=\"//cdn' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.net/l.js\">c</a><a href=\"sub/./s' || CAST(doc_id % 4 AS VARCHAR)"
+        " || '.html#frag\">s</a>"
+        "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>"
+        "</body></html>')"
+    )
+    src_dom = url_sql_parts(base)["reg_domain"]
+    dst_dom = url_sql_parts("link")["reg_domain"]
+    return f"""
+WITH l AS (
+  SELECT ({src_dom}) AS src_domain,
+         UNNEST({extract_links_sql(html, base)}) AS link
+  FROM documents)
+SELECT src_domain, ({dst_dom}) AS dst_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM l GROUP BY 1, 2
+"""
+
+
 def _oracle_redact_pii() -> str:
     from grandine_spark.functions.text import pii_redaction_sql
 
@@ -3076,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "quality_buckets": q_quality_buckets,
         "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
@@ -3221,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _oracle_lm_perplexity(),
         "quality_buckets": _oracle_quality_buckets(),
         "extract_links": _oracle_extract_links(),
+        "link_graph": _oracle_link_graph(),
         "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),
