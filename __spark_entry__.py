@@ -1311,6 +1311,20 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: importance weight of every doc as the
+    unigram log-likelihood ratio between a target distribution (docs with
+    doc_id % 7 == 0 — a deterministic 'curated subset' stand-in) and the
+    whole-corpus background."""
+    from grandine_spark.operators.quality import importance_weights
+
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    return importance_weights(d, target).select(
+        "doc_id", "n_tokens", "log2_weight"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: deterministic emails / IPv4s / phone numbers appended
     to each doc are scrubbed to typed placeholders by the shared
@@ -3056,6 +3070,32 @@ FROM l GROUP BY 1, 2
 """
 
 
+def _oracle_importance_weights() -> str:
+    return """
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+tt AS (SELECT tok FROM tk WHERE doc_id % 7 = 0),
+mt AS (SELECT tok, count(*) AS ct FROM tt GROUP BY 1),
+mb AS (SELECT tok, count(*) AS cb FROM tk GROUP BY 1),
+nt AS (SELECT count(*) AS n_t FROM tt),
+nb AS (SELECT count(*) AS n_b FROM tk),
+sc AS (
+  SELECT t.doc_id,
+         (log2(CAST(GREATEST(COALESCE(mt.ct, 0), 1) AS DOUBLE)) - log2(CAST(n_t AS DOUBLE)))
+       - (log2(CAST(GREATEST(COALESCE(mb.cb, 0), 1) AS DOUBLE)) - log2(CAST(n_b AS DOUBLE))) AS lr
+  FROM tk t LEFT JOIN mt USING (tok) LEFT JOIN mb USING (tok)
+  CROSS JOIN nt CROSS JOIN nb),
+agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lr) AS w FROM sc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(a.w, 6) AS log2_weight
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _oracle_redact_pii() -> str:
     from grandine_spark.functions.text import pii_redaction_sql
 
@@ -3154,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "extract_links": q_extract_links,
         "link_graph": q_link_graph,
+        "importance_weights": q_importance_weights,
         "redact_pii": q_redact_pii,
         "stream_cell_counts": q_stream_cell_counts,
         "stream_dedup": q_stream_dedup,
@@ -3300,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_buckets": _oracle_quality_buckets(),
         "extract_links": _oracle_extract_links(),
         "link_graph": _oracle_link_graph(),
+        "importance_weights": _oracle_importance_weights(),
         "redact_pii": _oracle_redact_pii(),
         "pricing_summary": _oracle_pricing_summary(),
         "top_segments": _oracle_top_segments(),

@@ -274,3 +274,87 @@ def quality_buckets(
         F.col("perplexity"),
         F.col("bucket"),
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", unigram formulation):
+    score every document by how much more likely its token stream is under
+    a TARGET distribution (e.g. curated/high-quality text, ``target_df``)
+    than under the BACKGROUND distribution (the corpus itself) —
+    ``log2_weight = Σ_tok [log2 p_tgt(tok) - log2 p_bg(tok)]``, with 1/N
+    backoff per side for unseen tokens. Sampling ∝ 2^log2_weight yields
+    the importance-resampled training mix; rank-descending gives "most
+    target-like" selection.
+
+    Returns (id_col, n_tokens, log2_weight), weight rounded to 6 dp;
+    empty documents get NULL weight.
+
+    Scale (100 TB): both unigram models come from ONE groupBy over the
+    tagged union of target and background token streams (conditional
+    aggregates — no second scan, no join of two model tables); scoring is
+    a single token equi-join against that combined vocabulary (broadcast
+    at any realistic vocab size) plus one per-doc aggregate. Same skeleton
+    as :func:`lm_perplexity`; everything stays in codegen.
+    """
+    tcol = target_text_col or text_col
+
+    def _toks(frame: DataFrame, col: str, tag: int) -> DataFrame:
+        return frame.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+            F.lit(tag).alias("_tgt"),
+        )
+
+    stream = _toks(target_df, tcol, 1).unionByName(_toks(df, text_col, 0))
+    model = stream.groupBy("tok").agg(
+        F.sum("_tgt").alias("_ct"),
+        F.sum(F.lit(1) - F.col("_tgt")).alias("_cb"),
+    )
+    totals = stream.select(
+        F.sum("_tgt").alias("_nt"),
+        F.sum(F.lit(1) - F.col("_tgt")).alias("_nb"),
+    )
+
+    doc_toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    scored = (
+        doc_toks.join(model, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            F.when(F.col("tok").isNull(), F.lit(None).cast("double")).otherwise(
+                # log2(c_t/N_t) - log2(c_b/N_b), zero counts backed off to 1
+                (
+                    F.log2(F.greatest(F.coalesce(F.col("_ct"), F.lit(0)), F.lit(1)).cast("double"))
+                    - F.log2(F.col("_nt").cast("double"))
+                )
+                - (
+                    F.log2(F.greatest(F.coalesce(F.col("_cb"), F.lit(0)), F.lit(1)).cast("double"))
+                    - F.log2(F.col("_nb").cast("double"))
+                )
+            ).alias("_lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.col("tok")).alias("n_tokens"),
+        F.round(F.sum("_lr"), 6).alias("log2_weight"),
+    )

@@ -172,3 +172,51 @@ def test_quality_buckets_deterministic_terciles(spark):
     assert {(r.doc_id, r.bucket) for r in rerun} == {
         (r.doc_id, r.bucket) for r in out
     }
+
+
+def test_importance_weights_matches_bruteforce(spark):
+    """Seeded differ for the DSIR weighting: tagged-union model counts and
+    per-doc log-ratio sums equal the python computation, including OOV-in-
+    target backoff, spam downweighting, and empty docs."""
+    import math
+    import random
+    from collections import Counter
+
+    from grandine_spark.operators.quality import importance_weights
+
+    rng = random.Random(31)
+    good = [f"g{i}" for i in range(10)]
+    bad = [f"b{i}" for i in range(10)]
+    bg_rows = []
+    for i in range(60):
+        pool = good if i % 3 == 0 else (good + bad)
+        n = rng.randint(0, 25)
+        bg_rows.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+    tgt_rows = [
+        (1000 + i, " ".join(rng.choice(good) for _ in range(rng.randint(3, 20))))
+        for i in range(15)
+    ]
+    bg = spark.createDataFrame(bg_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.log2_weight)
+        for r in importance_weights(bg, tgt).collect()
+    }
+    ct = Counter(t for _, x in tgt_rows for t in x.lower().split())
+    cb = Counter(t for _, x in bg_rows for t in x.strip().lower().split())
+    nt, nb = sum(ct.values()), sum(cb.values())
+    for d, x in bg_rows:
+        ts = x.strip().lower().split() if x.strip() else []
+        if not ts:
+            assert got[d] == (0, None)
+            continue
+        w = sum(
+            math.log2(max(ct.get(t, 0), 1) / nt)
+            - math.log2(max(cb.get(t, 0), 1) / nb)
+            for t in ts
+        )
+        assert got[d] == (len(ts), round(w, 6)), d
+    # good-token docs must outrank mixed docs on average
+    pure = [got[d][1] / got[d][0] for d, _ in bg_rows if d % 3 == 0 and got[d][0]]
+    mixed = [got[d][1] / got[d][0] for d, _ in bg_rows if d % 3 != 0 and got[d][0]]
+    assert sum(pure) / len(pure) > sum(mixed) / len(mixed)
