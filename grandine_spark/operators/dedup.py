@@ -386,52 +386,58 @@ def substring_dup_stats(
     than a `count() over (partition by win)` window function: WindowExec
     would buffer (and spill) the entire 10^9-row hot partition. The
     join-back and the count groupBy both shuffle 8-byte keys, not window
-    strings — wall-time-neutral at the bench shape (short synthetic pages;
-    A/B measured 4.2s both ways at 320k pages), but the shuffle-byte win
-    grows linearly with window width × token length on real web text.
+    strings, and the join-back is an INNER join against the ≥2-occurrence
+    hash set: per-doc totals (n_tokens, n_windows = max(n-W+1, 0)) are
+    derived map-side, so only DUPLICATED window occurrences — a sliver at
+    real dup rates — flow into the per-doc aggregate and the final doc
+    join.
     Span merging is a native array fold over the per-document sorted start
     positions (bounded by document length), not an explode of every covered
     position — no W-times row blowup. No driver participation, no collect.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
-    wins = df.select(
+    # per-doc base stats are pure map-side: n_windows is DERIVED from the
+    # token count (max(n - W + 1, 0), exactly word_shingles' cardinality),
+    # so window rows never need to flow into the per-doc aggregate unless
+    # they are duplicated
+    base = df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
-        F.posexplode_outer(TXT.word_shingles(F.col(text_col), window)).alias(
-            "pos", "win"
-        ),
+        F.greatest(
+            n_tokens.cast("long") - F.lit(window - 1), F.lit(0).cast("long")
+        ).alias("n_windows"),
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(TXT.word_shingles(F.col(text_col), window)).alias("pos", "win"),
     ).select(
         F.col(id_col),
-        F.col("n_tokens"),
         F.col("pos"),
-        # NULL for the no-window sentinel row (so the left join below can
-        # never match it), a 64-bit hash otherwise — the string is dropped
-        # here, before any shuffle
-        F.when(F.col("pos").isNotNull(), F.xxhash64(F.col("win"))).alias("win_h"),
+        # the window string is collapsed to its 64-bit hash here, before
+        # any shuffle
+        F.xxhash64(F.col("win")).alias("win_h"),
     )
     # corpus-wide occurrence count per distinct window hash (partial-agg
-    # friendly), then a hash-equi join to flag each occurrence. The join is
-    # co-partitioned with the groupBy output; AQE broadcasts `dup` when the
-    # duplicated-window universe is small.
+    # friendly), then a hash-equi INNER join: only duplicated occurrences
+    # — a sliver of the window universe at real dup rates — survive into
+    # the per-doc aggregate. The join is co-partitioned with the groupBy
+    # output; AQE broadcasts `dup` when the duplicated universe is small.
     dup = (
-        wins.filter(F.col("win_h").isNotNull())
-        .groupBy("win_h")
+        wins.groupBy("win_h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
-        .select("win_h", F.lit(True).alias("_dup"))
+        .select("win_h")
     )
-    flagged = wins.join(dup, "win_h", "left")
-    per_doc = flagged.groupBy(id_col).agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.col("pos")).alias("n_windows"),
-        F.sum(F.when(F.col("_dup"), F.lit(1)).otherwise(F.lit(0))).alias(
-            "n_dup_windows"
-        ),
-        F.sort_array(
-            F.collect_list(F.when(F.col("_dup"), F.col("pos")))
-        ).alias("_starts"),
+    dup_stats = (
+        wins.join(dup, "win_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_dup"),
+            F.sort_array(F.collect_list(F.col("pos"))).alias("_starts"),
+        )
     )
+    joined = base.join(dup_stats, id_col, "left")
     # merged coverage of [s, s+window) intervals over sorted starts:
     # sum(min(window, next-prev)) + window for the last interval — exactly
     # the count of distinct covered token positions.
@@ -441,14 +447,14 @@ def substring_dup_stats(
         F.slice(F.col("_starts"), 2, m - 1),
         lambda a, b: F.least(b - a, F.lit(window)),
     )
-    coverage = F.when(m == 0, F.lit(0)).otherwise(
+    coverage = F.when(F.col("_starts").isNull() | (m == 0), F.lit(0)).otherwise(
         F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + F.lit(window)
     )
-    return per_doc.select(
+    return joined.select(
         F.col(id_col),
         F.col("n_tokens"),
         F.col("n_windows"),
-        F.col("n_dup_windows"),
+        F.coalesce(F.col("_n_dup"), F.lit(0)).alias("n_dup_windows"),
         coverage.cast("long").alias("dup_tokens"),
         F.round(
             coverage.cast("double")
