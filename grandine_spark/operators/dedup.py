@@ -176,6 +176,12 @@ def ngram_jaccard_pairs(
         df.select(
             F.col(id_col), F.explode(TXT.word_shingles(F.col(text_col), shingle_k)).alias("sh")
         )
+        # collapse the shingle STRING to its 64-bit hash before the distinct
+        # (the first shuffle): every downstream stage — distinct, df-cap,
+        # self-join — keys on 8-byte longs instead of k-word strings. The
+        # same hash-equality formulation the MinHash chain already uses;
+        # outputs are identical absent a 64-bit collision.
+        .select(F.col(id_col), F.xxhash64(F.col("sh")).alias("sh"))
         .distinct()
     )
     if max_shingle_freq is not None:
