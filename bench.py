@@ -246,6 +246,25 @@ def main():
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 
+    def force_all(df):
+        """Count rows while forcing EVERY output column to be computed.
+
+        ``.count()`` lets Catalyst prune unused aggregate expressions and
+        eliminate left joins whose build side is provably unique on the
+        join key — for per-doc scoring operators (substring stats, LM
+        perplexity, line-dedup reassembly) that prunes away most of the
+        operator and the timing measures a metadata count (observed:
+        substring_dedup "0.4s" via count vs 17s forced, identical plan
+        inputs). Hashing all columns into an aggregate defeats both
+        optimizations for the cost of one cheap pass over output rows."""
+        cols = [F.col(c) for c in df.columns]
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("_h"),
+        ).collect()[0]
+        return row["n"]
+
     def timed(name, fn, reps=3, stable=0.25):
         """min-of-reps with ADAPTIVE extension: the host is a shared VM with
         multi-MINUTE noise episodes (observed 2-10x slowdowns — r3 caught a
@@ -437,7 +456,7 @@ def main():
             docs, shingle_k=3, threshold=0.5, max_shingle_freq=50
         ).count(),
     )
-    timed("simhash", lambda: simhash_buckets(docs).count())
+    timed("simhash", lambda: force_all(simhash_buckets(docs)))
 
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = embs.filter(F.col("vec_id") < 3).select(
@@ -484,11 +503,13 @@ def main():
     # word-granularity corpus dedup: explode → rank shuffle → reassembly
     timed(
         "line_dedup_words",
-        lambda: line_dedup(
-            hash_sample(sample, 1.0 / 3.0, id_col="url"),
-            id_col="url",
-            sep=" ",
-        ).count(),
+        lambda: force_all(
+            line_dedup(
+                hash_sample(sample, 1.0 / 3.0, id_col="url"),
+                id_col="url",
+                sep=" ",
+            )
+        ),
         reps=2,
     )
     # training-data chunk + pack: map-side 128-token windows over the page
@@ -498,12 +519,14 @@ def main():
 
     timed(
         "chunk_pack",
-        lambda: pack_chunks(
-            chunk_documents(sample, id_col="url", chunk_tokens=128),
-            seq_len=2048,
-            id_col="url",
-            n_shards=64,
-        ).count(),
+        lambda: force_all(
+            pack_chunks(
+                chunk_documents(sample, id_col="url", chunk_tokens=128),
+                seq_len=2048,
+                id_col="url",
+                n_shards=64,
+            )
+        ),
         reps=2,
     )
     # exact-substring span stats: map-side 8-token windows, occurrence
@@ -513,24 +536,30 @@ def main():
 
     timed(
         "substring_dedup",
-        lambda: substring_dup_stats(
-            hash_sample(sample, 1.0 / 3.0, id_col="url"), id_col="url", window=8
-        ).count(),
+        lambda: force_all(
+            substring_dup_stats(
+                hash_sample(sample, 1.0 / 3.0, id_col="url"),
+                id_col="url",
+                window=8,
+            )
+        ),
         reps=2,
     )
     # unigram LM quality score: model groupBy + broadcast token join
     timed(
         "lm_perplexity",
-        lambda: lm_perplexity(
-            hash_sample(sample, 1.0 / 3.0, id_col="url"), id_col="url"
-        ).count(),
+        lambda: force_all(
+            lm_perplexity(
+                hash_sample(sample, 1.0 / 3.0, id_col="url"), id_col="url"
+            )
+        ),
         reps=2,
     )
     # self as-of join on the zipf-skewed domain key: each fetch gains the
     # previous fetch of the same domain (union + one shuffle + window)
     timed(
         "asof_domain",
-        lambda: asof_join(
+        lambda: force_all(asof_join(
             sample.select("url", "domain", "warc_ts"),
             sample.select(
                 F.col("domain"),
@@ -542,18 +571,20 @@ def main():
             right_ts="prev_ts",
             right_cols=["prev_url"],
             strict=True,
-        ).count(),
+        )),
         reps=2,
     )
     # per-domain trajectory: geocoded fetches in time order, haversine length
     geo_sample = geocode_pages(sample.select("url", "warc_ts", "text"))
     timed(
         "track_stats_domains",
-        lambda: track_stats(
-            geo_sample.join(sample.select("url", "domain"), "url"),
-            key_col="domain",
-            ts_col="warc_ts",
-        ).count(),
+        lambda: force_all(
+            track_stats(
+                geo_sample.join(sample.select("url", "domain"), "url"),
+                key_col="domain",
+                ts_col="warc_ts",
+            )
+        ),
         reps=2,
     )
     # transitive closure over exact-dup pairs (the pairs→clusters step)
@@ -667,12 +698,14 @@ def main():
         from grandine_spark.operators.chunking import chunk_documents, pack_chunks
 
         sf1["chunk_pack_sec"], sf1["chunk_rows"] = sf1_timed(
-            lambda: pack_chunks(
-                chunk_documents(big, id_col="url", chunk_tokens=128),
-                seq_len=2048,
-                id_col="url",
-                n_shards=64,
-            ).count()
+            lambda: force_all(
+                pack_chunks(
+                    chunk_documents(big, id_col="url", chunk_tokens=128),
+                    seq_len=2048,
+                    id_col="url",
+                    n_shards=64,
+                )
+            )
         )
 
         feats10 = synth.features(
