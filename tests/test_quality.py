@@ -220,3 +220,22 @@ def test_importance_weights_matches_bruteforce(spark):
     pure = [got[d][1] / got[d][0] for d, _ in bg_rows if d % 3 == 0 and got[d][0]]
     mixed = [got[d][1] / got[d][0] for d, _ in bg_rows if d % 3 != 0 and got[d][0]]
     assert sum(pure) / len(pure) > sum(mixed) / len(mixed)
+
+
+def test_scoring_ops_plans_stay_jvm_side(spark):
+    """lm_perplexity and importance_weights must compile to pure JVM plans:
+    no Python evaluation anywhere (the log2/backoff chain is codegen), and
+    the model build is a partial/final hash aggregate, not a window."""
+    from grandine_spark.operators.quality import importance_weights, lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    for df in (
+        lm_perplexity(docs),
+        importance_weights(docs, docs.filter("doc_id = 1")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
+        assert "Window" not in plan.replace("WindowGroupLimit", ""), plan
+        assert "HashAggregate" in plan, plan

@@ -186,3 +186,52 @@ def test_extract_links_sql_twin_parity(spark):
     sql = f"SELECT doc_id, {extract_links_sql('html', 'url')} AS links FROM t"
     want = {d: list(ls) for d, ls in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_extract_links_sql_twin_fuzz(spark):
+    """Randomized parity differ: hrefs assembled from a hostile alphabet
+    (dots, slashes, colons, unicode, %-escapes, whitespace) must resolve
+    identically in Spark and the DuckDB twin — guards the RE2-vs-Java
+    regexp subset the twins share."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from grandine_spark.functions.url import extract_links, extract_links_sql
+
+    rng = random.Random(271828)
+    frag = ["a", "b9", ".", "..", "...", "/", "//", "idx.html", "p%20q",
+            "é", "~u", "-", "_", ":", "x:y", "?k=v", "&", "=", "http", "HT"]
+    schemes = ["http://", "https://", "HtTp://", "//", "/", "", "javascript:",
+               "mailto:", "tel:", "data:"]
+    rows = []
+    for i in range(120):
+        n_links = rng.randint(0, 6)
+        parts = []
+        for _ in range(n_links):
+            href = rng.choice(schemes) + "".join(
+                rng.choice(frag) for _ in range(rng.randint(0, 6))
+            )
+            q = rng.choice(['"', "'"])
+            # the opposite quote inside the href would end the attribute in
+            # real HTML too — strip it to keep the corpus well-formed
+            href = href.replace(q, "")
+            parts.append(f"<a href={q}{href}{q}>t</a>")
+        html = "<html>" + "".join(parts) + "</html>"
+        base = f"https://h{i % 7}.example.org" + rng.choice(
+            ["", "/", "/a/", "/a/b.html", "/a/../b/", "/x%20y/p.html"]
+        )
+        rows.append((i, base, html))
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {
+        r.doc_id: list(r.links)
+        for r in df.select(
+            "doc_id", extract_links(F.col("html"), F.col("url")).alias("links")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = f"SELECT doc_id, {extract_links_sql('html', 'url')} AS links FROM t"
+    want = {d: list(ls) for d, ls in con.execute(sql).fetchall()}
+    assert got == want
