@@ -500,16 +500,13 @@ def main():
     )
     sample.cache().count()
 
-    # word-granularity corpus dedup: explode → rank shuffle → reassembly
+    # word-granularity corpus dedup: explode → rank shuffle → reassembly.
+    # (NOTE: an earlier hash_sample(sample, 1/3) wrapper here was a no-op —
+    # hash samples on the same key NEST (min of rates), they don't multiply
+    # — so these rows always processed the full 960k-page sample.)
     timed(
         "line_dedup_words",
-        lambda: force_all(
-            line_dedup(
-                hash_sample(sample, 1.0 / 3.0, id_col="url"),
-                id_col="url",
-                sep=" ",
-            )
-        ),
+        lambda: force_all(line_dedup(sample, id_col="url", sep=" ")),
         reps=2,
     )
     # training-data chunk + pack: map-side 128-token windows over the page
@@ -537,22 +534,14 @@ def main():
     timed(
         "substring_dedup",
         lambda: force_all(
-            substring_dup_stats(
-                hash_sample(sample, 1.0 / 3.0, id_col="url"),
-                id_col="url",
-                window=8,
-            )
+            substring_dup_stats(sample, id_col="url", window=8)
         ),
         reps=2,
     )
     # unigram LM quality score: model groupBy + broadcast token join
     timed(
         "lm_perplexity",
-        lambda: force_all(
-            lm_perplexity(
-                hash_sample(sample, 1.0 / 3.0, id_col="url"), id_col="url"
-            )
-        ),
+        lambda: force_all(lm_perplexity(sample, id_col="url")),
         reps=2,
     )
     # self as-of join on the zipf-skewed domain key: each fetch gains the

@@ -39,6 +39,12 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     """Deterministic Bernoulli(rate) sample keyed on md5(id): a row is kept
     iff hash_u01(id) < rate. Partitioning-independent, join-stable (the
     same id always makes the same decision, so sampled tables still join).
+
+    Samples on the same id NEST, they don't multiply: hash_sample(p2) of a
+    hash_sample(p1) output keeps md5 < min(p1, p2) — the smaller sample is
+    always a subset of the larger (the property that makes progressive
+    sampling reproducible). For an independent sub-sample, sample on a
+    salted key instead.
     """
     return df.filter(_hash_u01(id_col) < F.lit(float(rate)))
 

@@ -540,3 +540,19 @@ def test_keep_best_duplicates_quality_keeper(spark):
         F.col("doc_id") == 2
     ).collect()[0]
     assert row.text == "the long one"
+
+
+def test_hash_sample_nests_not_multiplies(spark):
+    """Hash samples on the same id NEST: sampling an 0.15 sample at 1/3
+    keeps everything (min of rates), and a smaller-rate sample is always a
+    subset of a larger one — the progressive-sampling property the
+    docstring promises."""
+    from grandine_spark.operators.sampling import hash_sample
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s15 = hash_sample(df, 0.15)
+    nested = hash_sample(s15, 1.0 / 3.0)
+    assert nested.count() == s15.count()
+    s05 = hash_sample(df, 0.05)
+    ids15 = {r.doc_id for r in s15.collect()}
+    assert {r.doc_id for r in s05.collect()} <= ids15
