@@ -1228,15 +1228,15 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML outlink extraction + resolution: each doc gets a synthetic page
-    with every href shape (absolute, root-relative, relative with ./ and
-    ../, scheme-relative, javascript:, fragment-only), resolved against a
-    per-doc base URL; output is (doc_id, link) exploded from the sorted
-    distinct link set. Feeds url_normalize/registered_domain → pagerank."""
-    from grandine_spark.functions.url import extract_links
-
-    d = _docs(spark, sf_dir)
+def _link_page_exprs() -> tuple:
+    """Single source of truth for the synthetic link-extraction page: the
+    per-doc (base_url, html) Column pair used by q_extract_links AND
+    q_link_graph. The page carries every href shape: absolute,
+    root-relative, relative with ./ and ../, scheme-relative,
+    query-string-bearing (dot-collapse must leave the query untouched),
+    javascript:, fragment-only — plus a data-href attribute that must NOT
+    be extracted. MUST stay byte-identical to :func:`_link_page_sql` (the
+    oracle compares the resolved link sets)."""
     base = F.concat(
         F.lit("http://Site"),
         (F.col("doc_id") % 50).cast("string"),
@@ -1255,10 +1255,49 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).cast("string"),
         F.lit('.net/l.js">c</a><a href="sub/./s'),
         (F.col("doc_id") % 4).cast("string"),
-        F.lit('.html#frag">s</a>'
+        F.lit('.html#frag">s</a><a href="q.php?next=/a/../b'),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit('">q</a>'
+              '<a data-href="http://fake.invalid/x">d</a>'
               '<a href="javascript:void(0)">j</a><a href="#top">t</a>'
               "</body></html>"),
     )
+    return base, html
+
+
+def _link_page_sql() -> tuple:
+    """DuckDB twin of :func:`_link_page_exprs`: the same (base, html) pair
+    as SQL expression strings, byte-identical page content."""
+    base = (
+        "('http://Site' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '.example.com/a/b/page' || CAST(doc_id AS VARCHAR) || '.html')"
+    )
+    html = (
+        "('<html><body><a href=\"/r' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.html\">r</a><a href=''../rel' || CAST(doc_id % 5 AS VARCHAR)"
+        " || '.html''>x</a><a href=\"http://abs' || CAST(doc_id % 9 AS VARCHAR)"
+        " || '.org/p\">a</a><a href=\"//cdn' || CAST(doc_id % 3 AS VARCHAR)"
+        " || '.net/l.js\">c</a><a href=\"sub/./s' || CAST(doc_id % 4 AS VARCHAR)"
+        " || '.html#frag\">s</a><a href=\"q.php?next=/a/../b'"
+        " || CAST(doc_id % 6 AS VARCHAR)"
+        " || '\">q</a>"
+        "<a data-href=\"http://fake.invalid/x\">d</a>"
+        "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>"
+        "</body></html>')"
+    )
+    return base, html
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML outlink extraction + resolution: each doc gets the synthetic
+    _link_page_exprs page (every href shape incl. a data-href decoy and a
+    query-string href), resolved against a per-doc base URL; output is
+    (doc_id, link) exploded from the sorted distinct link set. Feeds
+    url_normalize/registered_domain → pagerank."""
+    from grandine_spark.functions.url import extract_links
+
+    d = _docs(spark, sf_dir)
+    base, html = _link_page_exprs()
     return d.select(
         "doc_id", F.explode(extract_links(html, base)).alias("link")
     )
@@ -1276,28 +1315,7 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
-    base = F.concat(
-        F.lit("http://Site"),
-        (F.col("doc_id") % 50).cast("string"),
-        F.lit(".example.com/a/b/page"),
-        F.col("doc_id").cast("string"),
-        F.lit(".html"),
-    )
-    html = F.concat(
-        F.lit('<html><body><a href="/r'),
-        (F.col("doc_id") % 7).cast("string"),
-        F.lit('.html">r</a><a href=\'../rel'),
-        (F.col("doc_id") % 5).cast("string"),
-        F.lit('.html\'>x</a><a href="http://abs'),
-        (F.col("doc_id") % 9).cast("string"),
-        F.lit('.org/p">a</a><a href="//cdn'),
-        (F.col("doc_id") % 3).cast("string"),
-        F.lit('.net/l.js">c</a><a href="sub/./s'),
-        (F.col("doc_id") % 4).cast("string"),
-        F.lit('.html#frag">s</a>'
-              '<a href="javascript:void(0)">j</a><a href="#top">t</a>'
-              "</body></html>"),
-    )
+    base, html = _link_page_exprs()
     links = d.select(
         registered_domain(url_host(base)).alias("src_domain"),
         F.explode(extract_links(html, base)).alias("link"),
@@ -3020,20 +3038,7 @@ FROM scored s LEFT JOIN b USING (doc_id)
 def _oracle_extract_links() -> str:
     from grandine_spark.functions.url import extract_links_sql
 
-    base = (
-        "('http://Site' || CAST(doc_id % 50 AS VARCHAR)"
-        " || '.example.com/a/b/page' || CAST(doc_id AS VARCHAR) || '.html')"
-    )
-    html = (
-        "('<html><body><a href=\"/r' || CAST(doc_id % 7 AS VARCHAR)"
-        " || '.html\">r</a><a href=''../rel' || CAST(doc_id % 5 AS VARCHAR)"
-        " || '.html''>x</a><a href=\"http://abs' || CAST(doc_id % 9 AS VARCHAR)"
-        " || '.org/p\">a</a><a href=\"//cdn' || CAST(doc_id % 3 AS VARCHAR)"
-        " || '.net/l.js\">c</a><a href=\"sub/./s' || CAST(doc_id % 4 AS VARCHAR)"
-        " || '.html#frag\">s</a>"
-        "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>"
-        "</body></html>')"
-    )
+    base, html = _link_page_sql()
     return f"""
 SELECT doc_id, UNNEST({extract_links_sql(html, base)}) AS link
 FROM documents
@@ -3043,20 +3048,7 @@ FROM documents
 def _oracle_link_graph() -> str:
     from grandine_spark.functions.url import extract_links_sql, url_sql_parts
 
-    base = (
-        "('http://Site' || CAST(doc_id % 50 AS VARCHAR)"
-        " || '.example.com/a/b/page' || CAST(doc_id AS VARCHAR) || '.html')"
-    )
-    html = (
-        "('<html><body><a href=\"/r' || CAST(doc_id % 7 AS VARCHAR)"
-        " || '.html\">r</a><a href=''../rel' || CAST(doc_id % 5 AS VARCHAR)"
-        " || '.html''>x</a><a href=\"http://abs' || CAST(doc_id % 9 AS VARCHAR)"
-        " || '.org/p\">a</a><a href=\"//cdn' || CAST(doc_id % 3 AS VARCHAR)"
-        " || '.net/l.js\">c</a><a href=\"sub/./s' || CAST(doc_id % 4 AS VARCHAR)"
-        " || '.html#frag\">s</a>"
-        "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>"
-        "</body></html>')"
-    )
+    base, html = _link_page_sql()
     src_dom = url_sql_parts(base)["reg_domain"]
     dst_dom = url_sql_parts("link")["reg_domain"]
     return f"""

@@ -215,8 +215,10 @@ def url_filter_reason_sql(url: str, deny_domains: tuple[str, ...] = ()) -> str:
 # only (unquoted href=foo is vanishingly rare in real crawls and ambiguous
 # to delimit); non-web schemes dropped; dot-segments resolved by bounded
 # global-replace passes with a conservative drop guard for anything deeper.
-_HREF_DQ_RE = '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]+)"'
-_HREF_SQ_RE = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']+)'"
+# href must be the first attribute or be preceded by a delimiter ([\s"'])
+# so attributes merely ENDING in href (data-href=...) are not extracted
+_HREF_DQ_RE = "(?i)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*\"([^\"]+)\""
+_HREF_SQ_RE = "(?i)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*'([^']+)'"
 _SKIP_SCHEME_RE = "(?i)^(javascript|mailto|data|tel):"
 _ABS_RE = "(?i)^https?://"
 _DOT1_RE = "/\\./"          # /./  -> /      (2 passes: adjacent overlaps)
@@ -233,11 +235,17 @@ def extract_links(html: Column, base_url: Column) -> Column:
     / directory with ``/./`` and up to four ``/seg/../`` levels collapsed
     (deeper or root-escaping dot-segments drop the link rather than emit a
     malformed URL). ``javascript:``/``mailto:``/``data:``/``tel:`` and
-    empty targets are dropped.
+    empty targets are dropped. When the base URL itself has no parseable
+    scheme+host, scheme-relative and relative candidates are dropped
+    rather than emitting malformed ``://host/p`` links (absolute hrefs
+    still pass through).
 
-    Dot-segment collapse runs on the PATH ONLY, before the origin is
-    prepended — a global ``/seg/../`` replace over a full URL would eat
-    ``//host/../`` (the host looks like a path segment).
+    Dot-segment collapse runs on the PATH ONLY (RFC 3986 §5.2.4): the
+    candidate is split at its first ``?``, the collapse and the drop guard
+    see only the path part, and the query string is re-appended untouched
+    — both because a global ``/seg/../`` replace over a full URL would eat
+    ``//host/../`` (the host looks like a path segment) and because an
+    href like ``p?next=/a/../b`` must keep its query byte-for-byte.
 
     Everything is a JVM-native expression over the page string — no
     explode, no shuffle, no Python; pair with ``F.explode`` +
@@ -246,6 +254,7 @@ def extract_links(html: Column, base_url: Column) -> Column:
     """
     scheme = F.lower(F.regexp_extract(base_url, _SCHEME_RE, 1))
     host = F.lower(url_host(base_url))
+    base_ok = (scheme != "") & (host != "")
     origin = F.concat(scheme, F.lit("://"), host)
     path = F.regexp_extract(F.regexp_extract(base_url, _PATHQ_RE, 1), "^([^?]*)", 1)
     # directory of the base path: strip the last segment; '' -> '/'
@@ -265,17 +274,25 @@ def extract_links(html: Column, base_url: Column) -> Column:
 
     def _resolve(u0: Column) -> Column:
         u = F.regexp_replace(F.trim(u0), "#.*$", "")
+        # split at the first '?': collapse + guard see the path only, the
+        # query is re-appended untouched (RFC 3986 removes dot-segments
+        # from the path component, never the query)
+        upath = F.regexp_extract(u, "^([^?]*)", 1)
+        uquery = F.regexp_extract(u, "(\\?.*)$", 1)  # '' when absent
         rel = _collapse(
-            F.when(u.startswith("/"), u).otherwise(F.concat(basedir, u))
+            F.when(upath.startswith("/"), upath).otherwise(
+                F.concat(basedir, upath)
+            )
         )
         return (
             F.when(u == "", F.lit(None).cast("string"))
             .when(u.rlike(_SKIP_SCHEME_RE), F.lit(None).cast("string"))
             .when(u.rlike(_ABS_RE), u)
+            .when(~base_ok, F.lit(None).cast("string"))
             .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
             .otherwise(
                 F.when(rel.rlike(_DOTGUARD_RE), F.lit(None).cast("string"))
-                .otherwise(F.concat(origin, rel))
+                .otherwise(F.concat(origin, rel, uquery))
             )
         )
 
@@ -309,7 +326,13 @@ def extract_links_sql(html: str, base_url: str) -> str:
         f"regexp_extract_all({html}, '{sq}', 1))"
     )
     u = "regexp_replace(trim(x), '#.*$', '', 'g')"
-    rel = f"(CASE WHEN {u} LIKE '/%' THEN {u} ELSE {basedir} || {u} END)"
+    upath = f"regexp_extract({u}, '^([^?]*)', 1)"
+    uquery = f"regexp_extract({u}, '(\\?.*)$', 1)"
+    base_ok = f"({scheme} <> '' AND {host} <> '')"
+    rel = (
+        f"(CASE WHEN {upath} LIKE '/%' THEN {upath} "
+        f"ELSE {basedir} || {upath} END)"
+    )
     for pat in (_DOT1_RE, _DOT1_RE, _DOTDOT_RE, _DOTDOT_RE, _DOTDOT_RE,
                 _DOTDOT_RE):
         rel = f"regexp_replace({rel}, '{pat}', '/', 'g')"
@@ -317,9 +340,10 @@ def extract_links_sql(html: str, base_url: str) -> str:
         f"(CASE WHEN {u} = '' THEN NULL "
         f"WHEN regexp_matches({u}, '{_SKIP_SCHEME_RE}') THEN NULL "
         f"WHEN regexp_matches({u}, '{_ABS_RE}') THEN {u} "
+        f"WHEN NOT {base_ok} THEN NULL "
         f"WHEN {u} LIKE '//%' THEN {scheme} || ':' || {u} "
         f"WHEN regexp_matches({rel}, '{_DOTGUARD_RE}') THEN NULL "
-        f"ELSE {origin} || {rel} END)"
+        f"ELSE {origin} || {rel} || {uquery} END)"
     )
     return (
         f"list_sort(list_distinct(list_filter("

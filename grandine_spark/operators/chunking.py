@@ -82,7 +82,7 @@ def pack_chunks(
     id_col: str = "doc_id",
     chunk_col: str = "chunk_idx",
     tokens_col: str = "n_tokens",
-    n_shards: int = 8,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-``seq_len`` training sequences by the
     concat-and-slice rule: within a shard, chunks are concatenated in
@@ -97,11 +97,28 @@ def pack_chunks(
     tokens_col, pack_offset) where pack_offset is the chunk's first-token
     offset WITHIN its pack (= shard-stream offset mod seq_len).
 
+    ``n_shards`` defaults to the session's ``spark.sql.shuffle.partitions``
+    (falling back to ``defaultParallelism``): the packing window has
+    exactly ``n_shards`` partitions, so a small fixed default would cap
+    the stage at that many tasks regardless of cluster size — at 100 TB a
+    literal 8 would mean 8 WindowExec sorts over ~12 TB each. Pass an
+    explicit value only when the pack-id layout itself must be
+    reproducible across sessions (shard assignment depends on it).
+
     Plan shape: ONE exchange (hash partition by shard) + a running-sum
     window per shard. No global sort; shards scale out with executors.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if n_shards is None:
+        try:
+            n_shards = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_shards = df.sparkSession.sparkContext.defaultParallelism
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
     shard = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("long")

@@ -400,7 +400,17 @@ def substring_dup_stats(
     Span merging is a native array fold over the per-document sorted start
     positions (bounded by document length), not an explode of every covered
     position — no W-times row blowup. No driver participation, no collect.
+
+    ``window`` must be in [2, 63]: the rotate-xor mix assigns each of the
+    W positions a distinct rotation from a schedule that cycles every 63
+    positions, so a wider window would reuse rotations and let equal
+    tokens at two same-rotation positions cancel out of the mix.
     """
+    if not (2 <= window <= 63):
+        raise ValueError(
+            f"substring_dup_stats window must be in [2, 63], got {window}: "
+            "the rotate-xor window mix has only 63 distinct rotations"
+        )
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
     # per-doc base stats are pure map-side: n_windows is DERIVED from the

@@ -128,8 +128,12 @@ def test_extract_links_resolution_rules(spark):
          '<a href="mailto:a@b.c">mail</a>'
          '<a href="tel:+1555">tel</a>'
          '<a href="/../esc.html">esc</a>'
+         '<a data-href="https://fake.example/not-a-link">dh</a>'
+         '<a href="p?next=/a/../b&amp;x=./y">q</a>'
          '<a href="B.HTML">dup</a>'),
-        (2, "not a url at all", '<a href="p.html">p</a>'),
+        (2, "not a url at all",
+         '<a href="p.html">p</a><a href="//cdn.net/x">sr</a>'
+         '<a href="http://abs.org/ok">abs</a>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string, html string")
     out = {
@@ -145,12 +149,14 @@ def test_extract_links_resolution_rules(spark):
             "http://www.ex.com/d1/y.html",
             "http://www.ex.com/d1/d2/z.html",
             "http://mirror.net/m",
+            # data-href is NOT an outlink (delimiter-guarded href regex);
+            # the query string survives dot-collapse byte-for-byte
+            "http://www.ex.com/d1/d2/p?next=/a/../b&amp;x=./y",
         ]
     )
-    # unparseable base: relative links cannot resolve -> origin is '://'-less;
-    # the resolver still yields a deterministic (if useless) value or drops —
-    # assert it does not throw and emits no absolute nonsense marked http
-    assert all(not l.startswith("http://not a url") for l in out[2])
+    # unparseable base: scheme-relative and relative candidates DROP (no
+    # '://host/p' malformed links); absolute hrefs still pass through
+    assert out[2] == ["http://abs.org/ok"]
 
 
 def test_extract_links_sql_twin_parity(spark):
@@ -170,10 +176,17 @@ def test_extract_links_sql_twin_parity(spark):
         '<a href="javascript:void({i})">6</a>',
         '<a href="#s{i}">7</a>',
         '<a href="/deep/../../esc{i}">8</a>',
+        '<a data-href="/not-a-link{i}.html">9</a>',
+        '<a href="p{i}?next=/a/../b{i}&x=./y">10</a>',
     ]
     for i in range(40):
         html = "".join(s.format(i=i) for s in shapes[: (i % len(shapes)) + 1])
-        rows.append((i, f"https://h{i % 5}.example.org/p{i % 3}/q/base.html", html))
+        base = (
+            f"https://h{i % 5}.example.org/p{i % 3}/q/base.html"
+            if i % 9
+            else "no scheme no host"  # unparseable base: twins must agree
+        )
+        rows.append((i, base, html))
     df = spark.createDataFrame(rows, "doc_id long, url string, html string")
     got = {
         r.doc_id: list(r.links)

@@ -414,6 +414,40 @@ def test_pack_chunks_one_exchange_and_shard_determinism(spark):
         assert rows_[0][3] < 32  # first chunk of a pack starts inside it
 
 
+def test_pack_chunks_default_shards_scale_with_config(spark):
+    """The n_shards default tracks spark.sql.shuffle.partitions (the
+    packing window has exactly n_shards partitions, so a fixed literal
+    default would cap the stage regardless of cluster size); an explicit
+    n_shards still pins the shard layout for reproducibility."""
+    from grandine_spark.operators.chunking import chunk_documents, pack_chunks
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(8))) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_tokens=8, stride=8)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "24")
+        shards = {
+            r.shard
+            for r in pack_chunks(chunks, seq_len=32)
+            .select("shard")
+            .distinct()
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert 0 <= min(shards) and max(shards) < 24
+    assert len(shards) > 8  # the old fixed default capped the stage at 8
+    shards4 = {
+        r.shard
+        for r in pack_chunks(chunks, seq_len=32, n_shards=4)
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    assert shards4 <= {0, 1, 2, 3}
+
+
 def test_dedup_incremental_exact_near_and_null(spark):
     from grandine_spark.operators.dedup import dedup_incremental
 
