@@ -3147,66 +3147,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver writes CORRECTNESS rows for the FIRST 50
-    # entries. Round 4 rotates the window so every oracle-capable query gets
-    # a driver-certified row at least once across rounds: positions 1-18 are
-    # the round-3 additions that had never had a driver row, 19-20 keep the
-    # streaming queries continuously certified (green r1/r2), 21 is the new
-    # LSH-path certification, and the rest of the window holds the queries
-    # touched this round or scale-critical enough to re-certify (including
-    # the late-r4 substring_dedup — the Lee-et-al exact-substring pass). The
-    # tail (51+) is long-certified (green in r1-r3) and regression-protected
-    # by tests/test_entry_oracles.py, which checks ALL entries, not just 50.
+    # entries. Round 5 (final) rotates the window so the record closes with
+    # the LONGEST-STALE entries freshly certified: positions 1-35 are the 35
+    # queries whose last driver row is r1-r3 (led by `tiles`, rows-only by
+    # design since r2), 36-41 are the queries touched by the r5 code changes
+    # (link extraction fixes, substring window validation, pack_chunks shard
+    # default), 42-43 keep the streaming pair continuously certified, and
+    # 44-50 re-certify the scale headliners. The tail (51+) was driver-
+    # certified in r4 and stays regression-protected by
+    # tests/test_entry_oracles.py, which checks ALL entries every run.
     return {
-        "thumbnail_stats": q_thumbnail_stats,
-        "gif_stats": q_gif_stats,
-        "video_frames": q_video_frames,
-        "audio_spectrum": q_audio_spectrum,
-        "jpeg_stats": q_jpeg_stats,
-        "jpeg_progressive": q_jpeg_progressive,
-        "chunk_docs": q_chunk_docs,
-        "pack_chunks": q_pack_chunks,
-        "dedup_incremental": q_dedup_incremental,
-        "normalize_text": q_normalize_text,
-        "keep_best": q_keep_best,
-        "url_filter": q_url_filter,
-        "mjpeg_frames": q_mjpeg_frames,
-        "cell_pyramid": q_cell_pyramid,
-        "weighted_sample": q_weighted_sample,
-        "focal_mean": q_focal_mean,
-        "zonal_stats": q_zonal_stats,
-        "vocab_topk": q_vocab_topk,
-        "dedup_clusters": q_dedup_clusters,
-        "track_stats": q_track_stats,
-        "asof_join": q_asof_join,
-        "quota_sample": q_quota_sample,
-        "hash_sample": q_hash_sample,
-        "line_dedup": q_line_dedup,
-        "substring_dedup": q_substring_dedup,
-        "lm_perplexity": q_lm_perplexity,
-        "quality_buckets": q_quality_buckets,
-        "extract_links": q_extract_links,
-        "link_graph": q_link_graph,
-        "importance_weights": q_importance_weights,
-        "redact_pii": q_redact_pii,
-        "stream_cell_counts": q_stream_cell_counts,
-        "stream_dedup": q_stream_dedup,
-        "embed_near_dup_lsh": q_embed_near_dup_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "embed_near_dup": q_embed_near_dup,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_capped": q_minhash_capped,
-        "simhash": q_simhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_pairs": q_dedup_pairs,
-        "spatial_join": q_spatial_join,
-        "spatial_join_multires": q_spatial_join_multires,
-        "radius_join": q_radius_join,
-        "knn": q_knn,
-        "ann_cosine": q_ann_cosine,
-        "ann_ivf": q_ann_ivf,
-        "connected_components": q_connected_components,
-        "sessions": q_sessions,
+        "tiles": q_tiles,
         "event_windows": q_event_windows,
         "tiles_meta": q_tiles_meta,
         "coverage": q_coverage,
@@ -3220,7 +3171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_mapping": q_tag_mapping,
         "pagerank": q_pagerank,
         "tfidf": q_tfidf,
-        # --- past the driver's 50-row window: all green in r1-r3 ---
         "spaten_roundtrip": q_spaten_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "way_assembly": q_way_assembly,
@@ -3242,7 +3192,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": q_quadkey,
         "pricing_summary": q_pricing_summary,
         "top_segments": q_top_segments,
-        "tiles": q_tiles,
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
+        "substring_dedup": q_substring_dedup,
+        "pack_chunks": q_pack_chunks,
+        "chunk_docs": q_chunk_docs,
+        "url_filter": q_url_filter,
+        "stream_cell_counts": q_stream_cell_counts,
+        "stream_dedup": q_stream_dedup,
+        "spatial_join": q_spatial_join,
+        "knn": q_knn,
+        "dedup_exact": q_dedup_exact,
+        "dedup_pairs": q_dedup_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "radius_join": q_radius_join,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        # --- past the driver's 50-row window: all driver-green in r4 ---
+        "thumbnail_stats": q_thumbnail_stats,
+        "gif_stats": q_gif_stats,
+        "video_frames": q_video_frames,
+        "audio_spectrum": q_audio_spectrum,
+        "jpeg_stats": q_jpeg_stats,
+        "jpeg_progressive": q_jpeg_progressive,
+        "dedup_incremental": q_dedup_incremental,
+        "normalize_text": q_normalize_text,
+        "keep_best": q_keep_best,
+        "mjpeg_frames": q_mjpeg_frames,
+        "cell_pyramid": q_cell_pyramid,
+        "weighted_sample": q_weighted_sample,
+        "focal_mean": q_focal_mean,
+        "zonal_stats": q_zonal_stats,
+        "vocab_topk": q_vocab_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "track_stats": q_track_stats,
+        "asof_join": q_asof_join,
+        "quota_sample": q_quota_sample,
+        "hash_sample": q_hash_sample,
+        "line_dedup": q_line_dedup,
+        "lm_perplexity": q_lm_perplexity,
+        "quality_buckets": q_quality_buckets,
+        "importance_weights": q_importance_weights,
+        "redact_pii": q_redact_pii,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "embed_near_dup": q_embed_near_dup,
+        "minhash_capped": q_minhash_capped,
+        "simhash": q_simhash,
+        "spatial_join_multires": q_spatial_join_multires,
+        "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "connected_components": q_connected_components,
+        "sessions": q_sessions,
     }
 
 

@@ -697,6 +697,22 @@ def main():
             )
         )
 
+        # the r4-new text ops at the 64M-page shape (forced, like sf0.1):
+        # evidences the linear-scaling claim their docstrings make — the
+        # substring pass shuffles 8-byte window hashes (never strings),
+        # perplexity is one Heaps-bounded vocab groupBy + broadcast join
+        from grandine_spark.operators.dedup import substring_dup_stats
+        from grandine_spark.operators.quality import lm_perplexity
+
+        sf1["substring_dedup_sec"], _ = sf1_timed(
+            lambda: force_all(
+                substring_dup_stats(big, id_col="url", window=8)
+            )
+        )
+        sf1["lm_perplexity_sec"], _ = sf1_timed(
+            lambda: force_all(lm_perplexity(big, id_col="url"))
+        )
+
         feats10 = synth.features(
             spark, n_polygons=2000, n_roads=1000, n_pois=2000
         )
