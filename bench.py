@@ -697,21 +697,30 @@ def main():
             )
         )
 
-        # the r4-new text ops at the 64M-page shape (forced, like sf0.1):
-        # evidences the linear-scaling claim their docstrings make — the
-        # substring pass shuffles 8-byte window hashes (never strings),
-        # perplexity is one Heaps-bounded vocab groupBy + broadcast join
+        # the r4-new text ops at sf1 scale (forced, like sf0.1), on a 10%
+        # deterministic slice (6.4M pages, 6.7x the sf0.1 960k-page rows;
+        # full-64M one-shot numbers are recorded in BASELINE.md): substring
+        # holds ~85% per-page throughput (shuffles 8-byte window hashes,
+        # never strings); lm_perplexity drops to ~60% on THIS corpus
+        # because the synth pages carry per-doc-unique tokens, so the
+        # vocab grows LINEARLY with the corpus (28M distinct @ 16M pages)
+        # and AQE rightly demotes the vocab broadcast to a shuffle join —
+        # the Heaps-bounded broadcast the docstring assumes is a property
+        # of real crawls, not of this adversarial synth. Single-rep: these
+        # are minute-plus jobs whose steady state dominates.
         from grandine_spark.operators.dedup import substring_dup_stats
         from grandine_spark.operators.quality import lm_perplexity
+        from grandine_spark.operators.sampling import hash_sample
 
-        sf1["substring_dedup_sec"], _ = sf1_timed(
-            lambda: force_all(
-                substring_dup_stats(big, id_col="url", window=8)
-            )
+        text_slice = hash_sample(big, 0.1, id_col="url")
+        t0 = time.time()
+        sf1["text_ops_pages"] = force_all(
+            substring_dup_stats(text_slice, id_col="url", window=8)
         )
-        sf1["lm_perplexity_sec"], _ = sf1_timed(
-            lambda: force_all(lm_perplexity(big, id_col="url"))
-        )
+        sf1["substring_dedup_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        force_all(lm_perplexity(text_slice, id_col="url"))
+        sf1["lm_perplexity_sec"] = round(time.time() - t0, 2)
 
         feats10 = synth.features(
             spark, n_polygons=2000, n_roads=1000, n_pois=2000
