@@ -323,7 +323,44 @@ def _encode_record_batch(batch, gzip: bool, simplify: bool, codec: str):
         layer_idx = ld.indices.to_numpy(zero_copy_only=False)
         layer_dict = ld.dictionary.to_pylist()
         wkb_list = vals.field("wkb").to_pylist()
-        props_list = vals.field("props").to_pylist()
+        # props via flat dictionary-encoded children, not to_pylist: the
+        # MapArray to_pylist materializes a fresh (key, value) tuple pair
+        # of fresh strings per entry, and was the single largest cost of
+        # the whole encode stage (measured 15.4s of a 117s serial z13
+        # profile; this path 3.0s, list-identical output). The same
+        # feature's props repeat in every tile it covers within the batch,
+        # so the per-batch entry universe dictionary-encodes to a handful
+        # of strings — rows then share the interned string objects. Null
+        # maps come back as [] instead of to_pylist's None; both falsy,
+        # and _encode_tiles_flat treats them identically.
+        pr = vals.field("props")
+        lst = pr.cast(
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("key", pr.type.key_type, nullable=False),
+                        pa.field("value", pr.type.item_type),
+                    ]
+                )
+            )
+        )
+        ent = pc.list_flatten(lst)
+        kd = pc.dictionary_encode(ent.field("key"))
+        vd = pc.dictionary_encode(ent.field("value"))
+        ktab = kd.dictionary.to_pylist()
+        kidx = kd.indices.to_numpy(zero_copy_only=False)
+        vtab = vd.dictionary.to_pylist()
+        vidx = vd.indices.to_numpy(zero_copy_only=False)
+        plens = pc.fill_null(pc.list_value_length(lst), 0).to_numpy(
+            zero_copy_only=False
+        )
+        poffs = np.empty(len(plens) + 1, np.int64)
+        poffs[0] = 0
+        np.cumsum(plens, out=poffs[1:])
+        props_list = [
+            [(ktab[kidx[j]], vtab[vidx[j]]) for j in range(poffs[i], poffs[i + 1])]
+            for i in range(len(plens))
+        ]
         cc = (
             pc.fill_null(vals.field("_cc"), 0)
             .to_numpy(zero_copy_only=False)
