@@ -1202,6 +1202,43 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 query set, shared verbatim by the Spark query and the DuckDB oracle
+# (terms drawn from the synth corpus vocabulary so every query matches)
+_BM25_QUERIES = [
+    (0, "spark join agg"),
+    (1, "table scan filter"),
+    (2, "window sort order"),
+    (3, "hash merge batch"),
+    (4, "customer query data"),
+]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against 5 fixed queries
+    (data-selection retrieval): lowercased whitespace terms, Lucene
+    +1-smoothed idf, k1=1.2 b=0.75; one (q_id, doc_id, score) row per
+    pair sharing a term, score rounded to 6 dp."""
+    from grandine_spark.operators.ranking import bm25_scores
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "q_id long, query string")
+    return bm25_scores(_docs(spark, sf_dir), qdf).select(
+        "q_id", "doc_id", "score"
+    )
+
+
+def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the Lee et al. exact-substring pass: drop every
+    token position covered by a corpus-duplicated 5-token window and
+    rebuild the doc from the survivors (original case; window equality is
+    case-insensitive). Complements `substring_dedup` (the stats half) on
+    the same corpus and window."""
+    from grandine_spark.operators.dedup import substring_dedup_clean
+
+    return substring_dedup_clean(_docs(spark, sf_dir), window=5).select(
+        "doc_id", "n_tokens", "kept_tokens", "clean_text"
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality score: unigram model self-trained on the
     corpus token stream, per-doc cross-entropy (bits) and perplexity.
@@ -2986,6 +3023,84 @@ FROM toks t LEFT JOIN wstats w USING (doc_id) LEFT JOIN cov c USING (doc_id)
 """
 
 
+def _oracle_bm25(k1: float = 1.2, b: float = 0.75) -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+    return f"""
+WITH q(q_id, query) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, tok AS term FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt AS (
+  SELECT DISTINCT q_id, term FROM (
+    SELECT q_id, UNNEST(string_split_regex(lower(trim(query)), '\\s+')) AS term
+    FROM q)
+  WHERE term <> ''),
+m AS (
+  SELECT qt.q_id, tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({k1} + 1.0))
+         / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+       JOIN dfreq USING (term) CROSS JOIN st)
+SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, round(sum(s), 6) AS score
+FROM m GROUP BY 1, 2
+"""
+
+
+def _oracle_substring_clean(window: int = 5) -> str:
+    """Independent window-TEXT formulation (like _oracle_substring_dedup):
+    duplicated windows found by joining on the actual lowercased window
+    string; covered positions exploded and anti-joined against the
+    original-case token stream; clean text rebuilt with string_agg ORDER
+    BY position."""
+    wm1 = window - 1
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN trim(text) = '' THEN 0 ELSE len(t) END AS n_tokens,
+         (text IS NULL) AS isnull
+  FROM docs),
+ne AS (SELECT doc_id, t FROM docs WHERE text IS NOT NULL AND trim(text) <> ''),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM ne, LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i) g),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_transform(t[i:i+{wm1}], x -> lower(x)), ' ') AS win
+  FROM ne, LATERAL (SELECT UNNEST(generate_series(1, len(t) - {wm1})) AS i) g
+  WHERE len(t) >= {window}),
+cnts AS (SELECT win FROM wins GROUP BY 1 HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, p
+  FROM wins w JOIN cnts USING (win),
+       LATERAL (SELECT UNNEST(generate_series(pos, pos + {wm1})) AS p) u),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p),
+agg AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN b.isnull THEN NULL
+            ELSE CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) END AS kept_tokens,
+       CASE WHEN b.isnull THEN NULL
+            ELSE COALESCE(a.clean, '') END AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _oracle_lm_perplexity() -> str:
     return """
 WITH tk AS (
@@ -3195,6 +3310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "link_graph": q_link_graph,
         "substring_dedup": q_substring_dedup,
+        "substring_clean": q_substring_clean,
+        "bm25": q_bm25,
         "pack_chunks": q_pack_chunks,
         "chunk_docs": q_chunk_docs,
         "url_filter": q_url_filter,
@@ -3329,6 +3446,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _oracle_hash_sample(),
         "line_dedup": _oracle_line_dedup(),
         "substring_dedup": _oracle_substring_dedup(),
+        "substring_clean": _oracle_substring_clean(),
+        "bm25": _oracle_bm25(),
         "lm_perplexity": _oracle_lm_perplexity(),
         "quality_buckets": _oracle_quality_buckets(),
         "extract_links": _oracle_extract_links(),

@@ -359,6 +359,35 @@ def dedup_incremental(
     return survivors
 
 
+def _window_hash_mix(tok_hashes, n, window: int):
+    """``window``-token sliding-window hashes as a native array expression:
+    mix the W consecutive 64-bit token hashes with position-distinct
+    rotate-xor (bitwise — ANSI-safe, no overflow). Building the W-word
+    string per window and hashing it was 60% of the stats operator's CPU
+    at the bench shape; this replaces ~80-byte string assembly + string
+    hashing per window with W register ops over hashes computed once per
+    token. Equality semantics: identical window text ⇒ identical mix;
+    distinct windows collide with ~2^-64 probability like any 64-bit
+    hash. Requires 2 <= window <= 63 (63 distinct rotations — callers
+    validate and surface the error)."""
+    m = F.greatest(n - F.lit(window - 1), F.lit(0))
+    slices = [F.slice(tok_hashes, j + 1, m) for j in range(window)]
+    zipped = F.arrays_zip(*slices)
+
+    def _mix(s):
+        acc = None
+        for j in range(window):
+            h = s[str(j)]
+            r = (11 * j + 7) % 63 + 1  # distinct nonzero rotations
+            rot = F.shiftleft(h, r).bitwiseOR(F.shiftrightunsigned(h, 64 - r))
+            acc = rot if acc is None else acc.bitwiseXOR(rot)
+        return acc
+
+    return F.when(n >= window, F.transform(zipped, _mix)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def substring_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -434,23 +463,7 @@ def substring_dup_stats(
     # mix; distinct windows collide with ~2^-64 probability like any 64-bit
     # hash (the oracle compares output STATS, so it certifies either form).
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-    m = F.greatest(n - F.lit(window - 1), F.lit(0))
-    slices = [F.slice(tok_hashes, j + 1, m) for j in range(window)]
-    zipped = F.arrays_zip(*slices)
-
-    def _mix(s):
-        acc = None
-        for j in range(window):
-            h = s[str(j)]
-            r = (11 * j + 7) % 63 + 1  # distinct nonzero rotations
-            rot = F.shiftleft(h, r).bitwiseOR(F.shiftrightunsigned(h, 64 - r))
-            acc = rot if acc is None else acc.bitwiseXOR(rot)
-        return acc
-
-    win_hashes = F.when(n >= window, F.transform(zipped, _mix)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    win_hashes = _window_hash_mix(tok_hashes, F.size(toks), window)
     wins = df.select(
         F.col(id_col),
         F.posexplode(win_hashes).alias("pos", "win_h"),
@@ -498,4 +511,109 @@ def substring_dup_stats(
             / F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(F.lit(1)),
             6,
         ).alias("dup_frac"),
+    )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of the Lee et al. 2022 exact-substring pass
+    (:func:`substring_dup_stats` is the measurement half): drop every
+    token position covered by at least one ``window``-token window whose
+    (lowercased) text occurs >= 2 times anywhere in the corpus, and
+    rebuild each document from the surviving tokens in order.
+
+    Returns one row per input document:
+    (id_col, n_tokens, kept_tokens, clean_text) — ``clean_text`` is the
+    kept tokens joined by single spaces, preserving ORIGINAL case
+    (window equality is case-insensitive, the removal is not a
+    normalizer); '' when the document was entirely duplicated spans or
+    empty, NULL only for NULL input text. Documents shorter than
+    ``window`` tokens pass through unchanged (no window can cover them),
+    modulo whitespace normalization — the rebuild joins with single
+    spaces, the standard tokenizer-bound contract.
+
+    Scale (100 TB): the shape is the stats pass's plus one covered-
+    position explode — every stage linear in corpus tokens, nothing
+    quadratic, no WindowExec on a skewed key:
+      1. window hashes map-side (shared `_window_hash_mix`; window
+         STRINGS never exist),
+      2. occurrence count = ONE partial-agg groupBy on the 8-byte hash
+         (boilerplate skew collapses map-side),
+      3. dup-only INNER join back (a sliver at real dup rates),
+      4. covered positions = explode(sequence(pos, pos+W-1)) over DUP
+         occurrences only — bounded by W x dup windows — then a distinct
+         and a LEFT ANTI equi-join against the exploded token rows, both
+         shuffling (id, pos) pairs of longs,
+      5. per-doc rebuild = one groupBy with sort_array(collect_list)
+         bounded by document length (a document fits a task by the same
+         contract every per-doc operator here assumes).
+    """
+    if not (2 <= window <= 63):
+        raise ValueError(
+            f"substring_dedup_clean window must be in [2, 63], got {window}: "
+            "the rotate-xor window mix has only 63 distinct rotations"
+        )
+    text = F.col(text_col)
+    # ONE split of the original-case text; lowercase per token for the
+    # window hashes so positions in the hash stream and the token stream
+    # are aligned BY CONSTRUCTION (lowercasing whole text first could in
+    # principle alter whitespace and shift positions).
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.when(
+        text.isNull(), F.lit(None).cast("long")
+    ).otherwise(
+        F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    )
+    base = df.select(
+        F.col(id_col), n_tokens.alias("n_tokens"), text.isNull().alias("_null")
+    )
+    ne = df.filter(text.isNotNull() & (F.trim(text) != ""))
+    tok_rows = ne.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(F.lower(t)))
+    wins = ne.select(
+        F.col(id_col),
+        F.posexplode(_window_hash_mix(tok_hashes, F.size(toks), window)).alias(
+            "pos", "win_h"
+        ),
+    )
+    dup = (
+        wins.groupBy("win_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("win_h")
+    )
+    covered = (
+        wins.join(dup, "win_h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.when(F.col("_null"), F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("_kept"), F.lit(0)))
+        .alias("kept_tokens"),
+        F.when(F.col("_null"), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
+        .alias("clean_text"),
     )

@@ -603,3 +603,38 @@ def test_substring_dup_stats_plan_uses_partial_agg_not_window(spark):
         "WindowGroupLimit", ""
     ), plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_substring_dedup_clean_spans_and_edges(spark):
+    """Removal half of the Lee et al. pass: tokens covered by corpus-
+    duplicated windows drop (case-insensitive window equality, original-
+    case output), short/empty/NULL docs keep their contracts, and
+    kept_tokens + dup coverage = n_tokens."""
+    import pytest as _pytest
+
+    from grandine_spark.operators.dedup import substring_dedup_clean
+
+    boiler = "alpha bravo charlie delta"  # 4-token window, duplicated
+    rows = [
+        (1, f"{boiler} unique one text here"),
+        (2, f"{boiler.upper()} other tail words two"),  # case-insensitive dup
+        (3, "totally distinct content nothing shared at all"),
+        (4, "tiny doc"),          # shorter than window: untouched
+        (5, ""),                  # empty: 0 tokens, '' out
+        (6, None),                # NULL: NULL out
+        (7, boiler),              # entirely one duplicated window -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
+        for r in substring_dedup_clean(df, window=4).collect()
+    }
+    assert out[1] == (8, 4, "unique one text here")
+    assert out[2] == (8, 4, "other tail words two")   # original case kept
+    assert out[3] == (7, 7, "totally distinct content nothing shared at all")
+    assert out[4] == (2, 2, "tiny doc")
+    assert out[5] == (0, 0, "")
+    assert out[6] == (None, None, None)
+    assert out[7] == (4, 0, "")
+    with _pytest.raises(ValueError):
+        substring_dedup_clean(df, window=64)
