@@ -538,10 +538,37 @@ def main():
         ),
         reps=2,
     )
+    # span REMOVAL (the other half of the Lee et al. pass): the stats
+    # shape plus a covered-position explode + anti-join + per-doc rebuild
+    from grandine_spark.operators.dedup import substring_dedup_clean
+
+    timed(
+        "substring_clean",
+        lambda: force_all(
+            substring_dedup_clean(sample, id_col="url", window=8)
+        ),
+        reps=2,
+    )
     # unigram LM quality score: model groupBy + broadcast token join
     timed(
         "lm_perplexity",
         lambda: force_all(lm_perplexity(sample, id_col="url")),
+        reps=2,
+    )
+    # BM25 data-selection retrieval: 5 fixed queries against the sampled
+    # corpus (terms from the synth page vocabulary), matched before the
+    # df/dl joins
+    from grandine_spark.operators.ranking import bm25_scores
+
+    bm25_q = spark.createDataFrame(
+        [(0, "quick brown fox"), (1, "lorem ipsum dolor"),
+         (2, "lazy dog jumps"), (3, "sit amet page"),
+         (4, "over the lorem")],
+        "q_id long, query string",
+    )
+    timed(
+        "bm25_5q",
+        lambda: force_all(bm25_scores(sample, bm25_q, id_col="url")),
         reps=2,
     )
     # self as-of join on the zipf-skewed domain key: each fetch gains the
