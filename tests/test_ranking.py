@@ -52,3 +52,33 @@ def test_bm25_case_and_duplicate_query_terms(spark):
     # one distinct term: score equals the single-term formula (N=1 doc
     # with tokens, dl=2, avgdl=2, tf=1, df=1)
     assert out[0].score == round(_bm25_term(1, 1, 1, 2, 2.0), 6)
+
+
+def test_bm25_plan_broadcasts_queries_no_cartesian(spark):
+    """Plan shape: the query-term join must be a broadcast hash join and
+    the only nested-loop join allowed is the 1-row (N, avgdl) stats cross
+    join — a real cartesian over (doc, term) x queries would be the
+    scale-killer this operator is designed to avoid."""
+    import contextlib
+    import io
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common word") for i in range(50)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "common"), (1, "tok1 word")], "q_id long, query string"
+    )
+    plan_df = bm25_scores(docs, queries)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # every nested-loop join in the plan must be the single-row stats side
+    # (formatted explain prints each node twice — tree + detail — so count
+    # distinct node ids, not raw matches)
+    bnlj_ids = set(re.findall(r"BroadcastNestedLoopJoin[^\n]*\((\d+)\)", plan))
+    assert len(bnlj_ids) <= 1, bnlj_ids
+    assert "CartesianProduct" not in plan

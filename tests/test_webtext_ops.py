@@ -638,3 +638,46 @@ def test_substring_dedup_clean_spans_and_edges(spark):
     assert out[7] == (4, 0, "")
     with _pytest.raises(ValueError):
         substring_dedup_clean(df, window=64)
+
+
+def test_substring_clean_consistent_with_stats(spark):
+    """Cross-operator invariant: on the same corpus and window, the stats
+    half's dup_tokens must equal n_tokens - kept_tokens of the removal
+    half for every document (seeded corpus with shared templates so both
+    zero- and high-duplication docs appear)."""
+    import random
+
+    from grandine_spark.operators.dedup import (
+        substring_dedup_clean,
+        substring_dup_stats,
+    )
+
+    rng = random.Random(31337)
+    templates = [
+        "the quick brown fox jumps over the lazy dog every day",
+        "pack my box with five dozen liquor jugs tonight",
+    ]
+    rows = []
+    for i in range(120):
+        parts = []
+        if rng.random() < 0.6:
+            parts.append(rng.choice(templates))
+        parts.append(" ".join(f"u{i}w{j}" for j in range(rng.randint(0, 12))))
+        if rng.random() < 0.3:
+            parts.append(rng.choice(templates))
+        rows.append((i, " ".join(p for p in parts if p).strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in substring_dup_stats(df, window=4).collect()
+    }
+    clean = {
+        r.doc_id: (r.n_tokens, r.kept_tokens)
+        for r in substring_dedup_clean(df, window=4).collect()
+    }
+    assert set(stats) == set(clean)
+    for d in stats:
+        sn, dup = stats[d]
+        cn, kept = clean[d]
+        assert sn == cn, (d, sn, cn)
+        assert dup == cn - kept, (d, dup, cn, kept)
